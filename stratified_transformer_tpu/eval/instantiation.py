@@ -1,0 +1,158 @@
+"""Cuboid instance decomposition from predicted offsets (DCF fork).
+
+Re-derivation of ``util/train_utils.py:547-739`` (``instantiation_eval``):
+  1. shift points by their predicted offset (``coord + pred_offset``);
+  2. per semantic class, DBSCAN-cluster the shifted points
+     (faces, class < 6: eps 0.1 / min_samples 5 / keep clusters > 50 pts;
+     edges, class >= 6: eps 0.15 / min_samples 3 / keep > 20 pts) and keep
+     the *original* coordinates of each cluster;
+  3. pair each edge instance with its two adjacent face classes via the
+     cube-topology ``lookup_face`` adjacency, by the fraction of edge points
+     within 8 cm of the face instance (> 0.5);
+  4. union-merge pair sets sharing instances; concatenate each merged group's
+     face points into one object support;
+  5. light outlier removal (voxel downsample + radius filter) per object.
+
+All CPU/numpy + scikit-learn (the reference also runs this on CPU).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+from scipy.spatial import distance
+from sklearn.cluster import DBSCAN
+
+# Adjacent face class ids for each of the 12 cube edges
+# (reference ``lookup_face``, train_utils.py:601).
+LOOKUP_FACE = [
+    [0, 1], [0, 2], [1, 2], [0, 3], [1, 3], [0, 4],
+    [2, 4], [3, 4], [1, 5], [2, 5], [3, 5], [4, 5],
+]
+
+
+def cluster_instances(samples, pred_offset, pred_labels, num_face_classes=6):
+    """Steps 1-2: per-class DBSCAN on offset-shifted points.
+
+    Returns (cls_list, indice_list): per class, the list of instances (each
+    an ``[m, 3]`` array of *original* coordinates), and their global
+    instance ids.
+    """
+    shifted = samples + pred_offset
+    cls_list: List[List[np.ndarray]] = []
+    indice_list: List[List[int]] = []
+    inst_idx = 0
+    n_classes = int(pred_labels.max()) + 1 if len(pred_labels) else 0
+    for c in range(n_classes):
+        sel = pred_labels == c
+        pts_trans = shifted[sel]
+        pts_ori = samples[sel]
+        if c < num_face_classes:
+            eps, min_samples, thre = 0.1, 5, 50
+        else:
+            eps, min_samples, thre = 0.15, 3, 20
+        instances: List[np.ndarray] = []
+        if len(pts_trans) >= min_samples:
+            db = DBSCAN(eps=eps, min_samples=min_samples).fit(pts_trans)
+            for j in range(db.labels_.max() + 1):
+                inst = pts_ori[db.labels_ == j]
+                if len(inst) > thre:
+                    instances.append(inst)
+        ids = []
+        for _ in instances:
+            ids.append(inst_idx)
+            inst_idx += 1
+        cls_list.append(instances)
+        indice_list.append(ids)
+    return cls_list, indice_list
+
+
+def pair_edges_to_faces(cls_list, indice_list, num_face_classes=6,
+                        contact_dist=0.08, contact_ratio=0.5):
+    """Step 3: edge->face adjacency pairing (train_utils.py:598-648)."""
+    f_cls = cls_list[:num_face_classes]
+    e_cls = cls_list[num_face_classes:]
+    pair_list: List[List[int]] = []
+    for cls_idx, e_list in enumerate(e_cls[:12]):
+        f_idx1, f_idx2 = LOOKUP_FACE[cls_idx]
+        f1, f2 = f_cls[f_idx1], f_cls[f_idx2]
+        id1, id2 = indice_list[f_idx1], indice_list[f_idx2]
+        if not f1 or not f2:
+            continue
+        for e_supp in e_list:
+            paired = []
+            for k, fs in enumerate(f1):
+                d = np.min(distance.cdist(e_supp, fs), axis=1)
+                if np.sum(d < contact_dist) / len(d) > contact_ratio:
+                    paired.append(id1[k])
+                    break
+            for k, fs in enumerate(f2):
+                d = np.min(distance.cdist(e_supp, fs), axis=1)
+                if np.sum(d < contact_dist) / len(d) > contact_ratio:
+                    paired.append(id2[k])
+                    break
+            if paired:
+                pair_list.append(paired)
+    return pair_list
+
+
+def merge_pairs(pair_list):
+    """Step 4: union-find style merging of id sets sharing members
+    (train_utils.py:666-689)."""
+    groups = [set(p) for p in pair_list]
+    merged = True
+    while merged:
+        merged = False
+        out: List[set] = []
+        for g in groups:
+            hit = None
+            for o in out:
+                if o & g:
+                    hit = o
+                    break
+            if hit is not None:
+                hit |= g
+                merged = True
+            else:
+                out.append(set(g))
+        groups = out
+    return [sorted(g) for g in groups]
+
+
+def _voxel_downsample(pts, voxel=0.04):
+    keys = np.floor(pts / voxel).astype(np.int64)
+    _, idx = np.unique(keys, axis=0, return_index=True)
+    return pts[np.sort(idx)]
+
+
+def _radius_outlier_filter(pts, nb_points=3, radius=0.1):
+    if len(pts) == 0:
+        return pts
+    d = distance.cdist(pts, pts)
+    neighbors = (d <= radius).sum(1) - 1
+    return pts[neighbors >= nb_points - 1]
+
+
+def instantiate(samples, pred_offset, pred_labels, num_face_classes=6):
+    """Full pipeline -> list of per-object support point arrays
+    (reference ``instantiation_eval`` return value)."""
+    cls_list, indice_list = cluster_instances(
+        samples, pred_offset, pred_labels, num_face_classes)
+    pair_list = pair_edges_to_faces(cls_list, indice_list, num_face_classes)
+    groups = merge_pairs(pair_list)
+    flat_faces = [i for sub in cls_list[:num_face_classes] for i in sub]
+    out = []
+    for g in groups:
+        supp = np.concatenate([flat_faces[i] for i in g
+                               if i < len(flat_faces)])
+        supp = _voxel_downsample(supp, 0.04)
+        supp = _radius_outlier_filter(supp, 3, 0.1)
+        if len(supp):
+            out.append(supp)
+    return out
+
+
+def support_to_box(supp):
+    """Axis-aligned box [x1,y1,z1,x2,y2,z2] of a support set."""
+    return np.concatenate([supp.min(0), supp.max(0)])

@@ -1,0 +1,131 @@
+"""WindowAttention + transformer block (flax.linen).
+
+Mirrors ``WindowAttention`` (``model/stratified_transformer.py:114-217``) and
+``SwinTransformerBlock`` (:219-248): fused QKV projection, contextual RPE
+tables of shape ``(2*quant_grid_length, heads, head_dim, 3)`` initialised
+trunc_normal(0.02) (:142-152), attention math in fp32 regardless of the
+compute dtype (the reference forces ``.float()`` under AMP), pre-LN residual
+blocks with per-point DropPath.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stratified_transformer_tpu.models.layers import Mlp, dense, drop_path, trunc_init
+from stratified_transformer_tpu.ops import attention as attn_ops
+from stratified_transformer_tpu.ops.plan import AttentionPlan
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    rel_query: bool = True
+    rel_key: bool = True
+    rel_value: bool = True
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    band: int = 256
+    tile: int = 128
+    impl: str = "reference"        # "reference" (jnp) | "fused" (Pallas)
+    w_chunk: int = 128
+    interpret: bool = False        # Pallas interpret mode (CPU testing)
+
+    @nn.compact
+    def __call__(self, feats, plan: AttentionPlan, *, training: bool):
+        n, c = feats.shape
+        h = self.num_heads
+        d = c // h
+        scale = self.qk_scale or d ** -0.5
+        # quant_grid_length, reference :142
+        lq = int((2 * self.window_size + 1e-4) // self.quant_size)
+        nbins = 2 * lq
+
+        qkv = dense(3 * c, use_bias=self.qkv_bias, name="qkv")(feats)
+        qkv = qkv.reshape(n, 3, h, d)
+        o = plan.order
+        q = qkv[:, 0][o]
+        k = qkv[:, 1][o]
+        v = qkv[:, 2][o]
+
+        def table(name):
+            return self.param(name, trunc_init, (nbins, h, d, 3), jnp.float32)
+
+        tq = table("rel_query_table") if self.rel_query else None
+        tk = table("rel_key_table") if self.rel_key else None
+        tv = table("rel_value_table") if self.rel_value else None
+
+        if self.impl == "fused":
+            from stratified_transformer_tpu.ops.attention_fused import (
+                stratified_attention_fused)
+
+            out_sorted = stratified_attention_fused(
+                q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted,
+                sparse_idx=plan.sparse_idx, sparse_mask=plan.sparse_mask,
+                table_q=tq, table_k=tk, table_v=tv,
+                window_size=self.window_size, quant_size=self.quant_size,
+                scale=scale, band=self.band, tile=self.tile,
+                w_chunk=self.w_chunk, interpret=self.interpret,
+            )
+        else:
+            out_sorted = attn_ops.stratified_attention(
+                q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted,
+                sparse_idx=plan.sparse_idx, sparse_mask=plan.sparse_mask,
+                table_q=tq, table_k=tk, table_v=tv,
+                window_size=self.window_size, quant_size=self.quant_size,
+                scale=scale, band=self.band, tile=self.tile,
+            )
+        out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
+        return dense(c, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-LN attention + MLP with DropPath (reference :219-248)."""
+
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    rel_query: bool = True
+    rel_key: bool = True
+    rel_value: bool = True
+    drop_path_rate: float = 0.0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    band: int = 256
+    tile: int = 128
+    impl: str = "reference"
+    w_chunk: int = 128
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, feats, plan: AttentionPlan, *, training: bool):
+        shortcut = feats
+        x = nn.LayerNorm(name="norm1")(feats)
+        x = WindowAttention(
+            dim=self.dim, num_heads=self.num_heads,
+            window_size=self.window_size, quant_size=self.quant_size,
+            rel_query=self.rel_query, rel_key=self.rel_key,
+            rel_value=self.rel_value, qkv_bias=self.qkv_bias,
+            band=self.band, tile=self.tile, impl=self.impl,
+            w_chunk=self.w_chunk, interpret=self.interpret, name="attn",
+        )(x, plan, training=training)
+        if training and self.drop_path_rate > 0:
+            x = drop_path(
+                x, self.drop_path_rate, self.make_rng("droppath"), training)
+        feats = shortcut + x
+        y = Mlp(
+            hidden=int(self.dim * self.mlp_ratio), out=self.dim, name="mlp"
+        )(nn.LayerNorm(name="norm2")(feats), training=training)
+        if training and self.drop_path_rate > 0:
+            y = drop_path(
+                y, self.drop_path_rate, self.make_rng("droppath"), training)
+        return feats + y

@@ -1,0 +1,186 @@
+"""Shared model building blocks (flax.linen).
+
+Mirrors the reference sub-modules at ``model/stratified_transformer.py``:
+``Mlp`` (:67-85), ``TransitionDown`` (:87-111), ``Upsample`` (:329-342),
+plus a masked BatchNorm replacing ``nn.BatchNorm1d``/``FastBatchNorm1d``
+(which the reference wraps in ``SyncBatchNorm`` for multi-GPU,
+``train.py:157-160``). Under a data-parallel mesh the masked reductions here
+are computed over the *global* (sharded) batch by XLA, so cross-replica
+SyncBN semantics come for free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stratified_transformer_tpu.ops import neighbors, sampling
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def dense(features, name=None, use_bias=True):
+    """Linear with the reference init: trunc_normal(0.02) weight, zero bias
+    (``model/stratified_transformer.py:489-502``)."""
+    return nn.Dense(
+        features, use_bias=use_bias, kernel_init=trunc_init,
+        bias_init=nn.initializers.zeros, name=name,
+    )
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid points only (flat ``[N, C]`` + ``[N]`` mask).
+
+    Replaces ``nn.BatchNorm1d`` / ``FastBatchNorm1d(momentum=0.02)``.
+    Statistics exclude padding; running stats follow torch's convention
+    ``running = (1 - momentum) * running + momentum * batch_stat``.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    # SyncBN: name of the mapped mesh axis to psum statistics over
+    # (reference converts BN to SyncBatchNorm under DDP, train.py:157-160).
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, valid, *, training: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if training:
+            xf = x.astype(jnp.float32)
+            w = valid.astype(jnp.float32)[:, None]
+            s1 = jnp.sum(xf * w, 0)
+            s2 = jnp.sum(xf * xf * w, 0)
+            cnt = jnp.sum(w)
+            if self.axis_name is not None and not self.is_initializing():
+                s1, s2, cnt = jax.lax.psum((s1, s2, cnt), self.axis_name)
+            count = jnp.maximum(cnt, 1.0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                # torch uses the unbiased variance for running stats
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference :67-85)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, training: bool):
+        x = dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0 and training:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        x = dense(self.out, name="fc2")(x)
+        if self.drop > 0 and training:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        return x
+
+
+def drop_path(x, rate, rng, training):
+    """Per-point stochastic depth (timm ``DropPath`` semantics: scale kept
+    rows by 1/(1-rate); reference :230)."""
+    if not training or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class TransitionDown(nn.Module):
+    """FPS/grid downsample + kNN max-pool (reference :87-111).
+
+    Reference order: gather k=16 neighbors, LayerNorm, Linear, MaxPool.
+    LN and Linear act per row, so we normalise+project all N support points
+    once and gather afterwards — identical math, 4x fewer FLOPs at k=16,
+    ratio=0.25.
+    """
+
+    out_channels: int
+    ratio: float = 0.25
+    k: int = 16
+    sampler: str = "fps"          # "fps" | "grid"
+    grid_cell: float = 0.0        # cell size for the grid sampler
+    out_pad: int = 0              # static output capacity
+    fps_max_steps: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, feats, xyz, offsets):
+        counts = offsets - jnp.concatenate(
+            [jnp.zeros((1,), offsets.dtype), offsets[:-1]])
+        new_counts = sampling.floor_ratio_counts(counts, self.ratio)
+        new_offsets = sampling.counts_to_offsets(new_counts)
+
+        if self.sampler == "grid":
+            idx, out_valid = sampling.grid_pool_sampling(
+                xyz, offsets, new_offsets, self.out_pad, self.grid_cell)
+        else:
+            idx, out_valid = sampling.farthest_point_sampling(
+                xyz, offsets, new_offsets, self.out_pad,
+                max_steps=self.fps_max_steps)
+        n_xyz = xyz[idx]
+
+        n = xyz.shape[0]
+        valid = sampling.offsets_to_valid(offsets, n)
+        batch = sampling.offsets_to_batch(offsets, n)
+        out_batch = sampling.offsets_to_batch(new_offsets, self.out_pad)
+
+        projected = dense(self.out_channels, use_bias=False, name="linear")(
+            nn.LayerNorm(name="norm")(feats))
+        nidx, _, nmask = neighbors.knn(
+            n_xyz, out_batch, xyz, batch, valid, self.k,
+            query_valid=out_valid)
+        gathered = neighbors.gather_group(
+            projected, nidx, nmask, fill=-jnp.inf)
+        pooled = jnp.max(gathered, axis=1)
+        pooled = jnp.where(out_valid[:, None], pooled, 0.0)
+        return pooled, n_xyz, new_offsets, out_valid
+
+
+class Upsample(nn.Module):
+    """``linear1(skip) + 3NN-interp(linear2(feats))`` (reference :329-342)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(
+        self, feats, xyz, offsets, skip_feats, skip_xyz, skip_offsets
+    ):
+        n_coarse = xyz.shape[0]
+        n_fine = skip_xyz.shape[0]
+        lifted = dense(self.out_channels, name="linear2")(
+            nn.LayerNorm(name="norm2")(feats))
+        interp = neighbors.three_nn_interpolate(
+            skip_xyz,
+            sampling.offsets_to_batch(skip_offsets, n_fine),
+            xyz,
+            sampling.offsets_to_batch(offsets, n_coarse),
+            sampling.offsets_to_valid(offsets, n_coarse),
+            lifted,
+            query_valid=sampling.offsets_to_valid(skip_offsets, n_fine),
+        )
+        out = dense(self.out_channels, name="linear1")(
+            nn.LayerNorm(name="norm1")(skip_feats)) + interp
+        return out, skip_xyz, skip_offsets

@@ -1,0 +1,279 @@
+"""The Stratified Transformer segmentation model (flax.linen).
+
+Mirrors ``Stratified`` (``model/stratified_transformer.py:398-502``) and its
+upstream variant (``model/stratified_transformer_backup.py:394-487``): KPConv
+stem, U-Net encoder of ``BasicLayer`` stages with stratified window attention,
+``TransitionDown``/``Upsample`` pyramid, classifier head, optional per-point
+3-vector offset regressor (the DCF fork head, reference :438-443,485-487).
+
+TPU-native dataflow: flat ``[N_pad]`` arrays + traced cumulative ``offsets``;
+all stage capacities are static; per-stage attention plans are built once per
+shift parity and shared across the stage's blocks, exactly like the reference
+shares its ``grid_sample`` results (:277-300).
+
+Derived hyper-parameters follow ``train.py:110-113``:
+``patch = grid_size * patch_size``; ``window[i] = patch * window * 2**i``;
+``grid[i] = patch * 2**i``; ``quant[i] = quant_size * 2**i``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stratified_transformer_tpu.models.attention import Block
+from stratified_transformer_tpu.models.kpconv import (
+    KPConvResBlock,
+    KPConvSimpleBlock,
+)
+from stratified_transformer_tpu.models.layers import (
+    MaskedBatchNorm,
+    TransitionDown,
+    Upsample,
+    dense,
+)
+from stratified_transformer_tpu.ops import neighbors, sampling
+from stratified_transformer_tpu.ops.plan import build_attention_plan
+
+
+@dataclasses.dataclass(frozen=True)
+class StratifiedConfig:
+    """Static model/shape configuration (hashable, jit-friendly)."""
+
+    num_classes: int = 13
+    in_channels: int = 6                      # colors (+xyz if concat_xyz)
+    channels: Tuple[int, ...] = (48, 96, 192, 384)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    num_layers: int = 4
+    window_size: float = 4.0                  # multiplier (config TRAIN)
+    patch_size: float = 1.0
+    grid_size: float = 0.04
+    quant_size: float = 0.01
+    downsample_scale: int = 8
+    rel_query: bool = True
+    rel_key: bool = True
+    rel_value: bool = True
+    drop_path_rate: float = 0.3
+    concat_xyz: bool = True
+    stem_transformer: bool = True
+    up_k: int = 3
+    ratio: float = 0.25
+    k: int = 16
+    sigma: float = 1.0
+    max_num_neighbors: int = 34
+    with_regressor: bool = False              # DCF fork head
+    activation: str = "Relu"                  # regressor act: Relu | Tanh
+    mlp_ratio: float = 4.0
+
+    # --- TPU static-shape / layout knobs (no reference analogue) ---
+    n_pad: int = 140_000                      # flat point capacity
+    num_scenes: int = 8                       # static batch capacity
+    band: int = 128                           # one-sided dense band width
+    tile: int = 128                           # attention query tile
+    sparse_cap: int = 48                      # sparse keys per large window
+    use_stratified: bool = True               # False => plain Swin3D windows
+    sampler: str = "grid"                     # "fps" | "grid"
+    knn_chunk: int = 1024
+    bn_axis_name: str | None = None           # SyncBN psum axis (DP mesh)
+    attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
+    w_chunk: int = 128
+    pallas_interpret: bool = False
+
+    # -------- derived (reference train.py:110-113) --------
+    @property
+    def patch(self) -> float:
+        return self.grid_size * self.patch_size
+
+    def window_sizes(self):
+        return [self.patch * self.window_size * 2 ** i
+                for i in range(self.num_layers)]
+
+    def grid_sizes(self):
+        return [self.patch * 2 ** i for i in range(self.num_layers)]
+
+    def quant_sizes(self):
+        return [self.quant_size * 2 ** i for i in range(self.num_layers)]
+
+    @property
+    def layer_start(self) -> int:
+        return 0 if self.stem_transformer else 1
+
+    def stage_caps(self):
+        """Static point capacity entering each stage 0..num_layers-1."""
+        caps = []
+        n = self.n_pad
+        if not self.stem_transformer:
+            caps.append(n)                     # stage 0 skip level
+            n = int(n * self.ratio) + self.num_scenes
+        for i in range(self.layer_start, self.num_layers):
+            caps.append(n)
+            n = int(n * self.ratio) + self.num_scenes
+        return caps
+
+    def drop_path_schedule(self):
+        total = sum(self.depths)
+        import numpy as np
+        return list(np.linspace(0.0, self.drop_path_rate, total))
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class BasicLayer(nn.Module):
+    """One encoder stage: plans + depth x Block (reference :250-326)."""
+
+    cfg: StratifiedConfig
+    stage: int
+
+    @nn.compact
+    def __call__(self, feats, xyz, offsets, *, training: bool):
+        cfg = self.cfg
+        i = self.stage
+        n = xyz.shape[0]
+        ws = cfg.window_sizes()[i]
+        qs = cfg.quant_sizes()[i]
+        batch = sampling.offsets_to_batch(offsets, n)
+        valid = sampling.offsets_to_valid(offsets, n)
+
+        is_down = None
+        if cfg.use_stratified:
+            counts = offsets - jnp.concatenate(
+                [jnp.zeros((1,), offsets.dtype), offsets[:-1]])
+            d_counts = sampling.floor_ratio_counts(
+                counts, 1.0 / cfg.downsample_scale)
+            d_offsets = sampling.counts_to_offsets(d_counts)
+            d_pad = n // cfg.downsample_scale + cfg.num_scenes
+            if cfg.sampler == "grid":
+                cell = cfg.grid_sizes()[i] * float(cfg.downsample_scale) ** 0.5
+                d_idx, d_valid = sampling.grid_pool_sampling(
+                    xyz, offsets, d_offsets, d_pad, cell)
+            else:
+                d_idx, d_valid = sampling.farthest_point_sampling(
+                    xyz, offsets, d_offsets, d_pad)
+            is_down = jnp.zeros((n,), bool).at[d_idx].set(d_valid, mode="drop")
+
+        plans = [
+            build_attention_plan(
+                xyz, batch, valid, ws, shifted=bool(parity),
+                is_down=is_down, sparse_cap=cfg.sparse_cap)
+            for parity in (0, 1)
+        ]
+
+        dps = self.cfg.drop_path_schedule()
+        base = sum(cfg.depths[:i])
+        for b in range(cfg.depths[i]):
+            feats = Block(
+                dim=cfg.channels[i], num_heads=cfg.num_heads[i],
+                window_size=ws, quant_size=qs,
+                rel_query=cfg.rel_query, rel_key=cfg.rel_key,
+                rel_value=cfg.rel_value, drop_path_rate=dps[base + b],
+                mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
+                impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
+                interpret=cfg.pallas_interpret,
+                name=f"blocks_{b}",
+            )(feats, plans[b % 2], training=training)
+        return feats
+
+
+class Stratified(nn.Module):
+    cfg: StratifiedConfig
+
+    @nn.compact
+    def __call__(self, feats, xyz, offsets, *, training: bool = False):
+        """feats ``[N_pad, C_in]``, xyz ``[N_pad, 3]``, offsets ``[B]``.
+
+        Returns ``(logits [N_pad, num_classes], shift [N_pad, 3] | None)``.
+        """
+        cfg = self.cfg
+        feats = jnp.asarray(feats)
+        xyz = jnp.asarray(xyz)
+        offsets = jnp.asarray(offsets)
+        n = xyz.shape[0]
+        assert n % cfg.tile == 0, (
+            f"n_pad {n} must be a multiple of tile {cfg.tile}")
+        batch = sampling.offsets_to_batch(offsets, n)
+        valid = sampling.offsets_to_valid(offsets, n)
+
+        # --- KPConv stem (radius neighbors on-device; the reference computes
+        # ball_query on CPU inside the train loop, train.py:324-329) ---
+        radius = 2.5 * cfg.grid_size * cfg.sigma
+        nidx, nmask = neighbors.radius_neighbors(
+            xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
+            chunk=cfg.knn_chunk)
+        feats = KPConvSimpleBlock(
+            cfg.channels[0], cfg.grid_size * cfg.sigma,
+            bn_axis_name=cfg.bn_axis_name, name="stem_0",
+        )(feats, xyz, nidx, nmask, valid, training=training)
+        if not cfg.stem_transformer:
+            feats = KPConvResBlock(
+                cfg.channels[0], cfg.grid_size * cfg.sigma,
+                bn_axis_name=cfg.bn_axis_name, name="stem_1",
+            )(feats, xyz, nidx, nmask, valid, training=training)
+
+        feats_stack, xyz_stack, off_stack = [], [], []
+        caps = cfg.stage_caps()
+        cap_i = 0
+
+        if not cfg.stem_transformer:
+            feats_stack.append(feats)
+            xyz_stack.append(xyz)
+            off_stack.append(offsets)
+            out_pad = _round_up(
+                int(caps[0] * cfg.ratio) + cfg.num_scenes, cfg.tile)
+            feats, xyz, offsets, _ = TransitionDown(
+                cfg.channels[1], ratio=cfg.ratio, k=cfg.k,
+                sampler=cfg.sampler,
+                grid_cell=cfg.grid_sizes()[0] * 2.0,
+                out_pad=out_pad, name="stem_down",
+            )(feats, xyz, offsets)
+            cap_i = 1
+
+        for i in range(cfg.layer_start, cfg.num_layers):
+            feats = BasicLayer(cfg, i, name=f"layer_{i}")(
+                feats, xyz, offsets, training=training)
+            feats_stack.append(feats)
+            xyz_stack.append(xyz)
+            off_stack.append(offsets)
+            if i < cfg.num_layers - 1:
+                out_pad = _round_up(
+                    int(xyz.shape[0] * cfg.ratio) + cfg.num_scenes, cfg.tile)
+                feats, xyz, offsets, _ = TransitionDown(
+                    cfg.channels[i + 1], ratio=cfg.ratio, k=cfg.k,
+                    sampler=cfg.sampler,
+                    grid_cell=cfg.grid_sizes()[i] * 2.0,
+                    out_pad=out_pad, name=f"down_{i}",
+                )(feats, xyz, offsets)
+
+        feats = feats_stack.pop()
+        xyz = xyz_stack.pop()
+        offsets = off_stack.pop()
+        up_idx = 0
+        while feats_stack:
+            feats, xyz, offsets = Upsample(
+                feats_stack[-1].shape[-1], name=f"up_{up_idx}",
+            )(feats, xyz, offsets,
+              feats_stack.pop(), xyz_stack.pop(), off_stack.pop())
+            up_idx += 1
+
+        valid0 = sampling.offsets_to_valid(offsets, xyz.shape[0])
+        # classifier head (reference :426-431)
+        h = dense(cfg.channels[0], name="cls_fc1")(feats)
+        h = MaskedBatchNorm(axis_name=cfg.bn_axis_name, name="cls_bn")(
+            h, valid0, training=training)
+        h = nn.relu(h)
+        logits = dense(cfg.num_classes, name="cls_fc2")(h)
+
+        shift = None
+        if cfg.with_regressor:
+            g = dense(cfg.channels[0], name="reg_fc1")(feats)
+            g = MaskedBatchNorm(axis_name=cfg.bn_axis_name, name="reg_bn")(
+                g, valid0, training=training)
+            g = jnp.tanh(g) if cfg.activation == "Tanh" else nn.relu(g)
+            shift = dense(3, name="reg_fc2")(g)
+        return logits, shift

@@ -1,0 +1,363 @@
+"""Stratified window attention — fused, static-shape, TPU-first.
+
+Reference computation chain (``model/stratified_transformer.py:164-217``):
+  1. ``attention_step1_v2``: per-pair QK^T over ragged CSR pairs
+     (``lib/pointops2/src/attention_v2/attention_cuda_kernel_v2.cu:8-50``);
+  2. ``dot_prod_with_idx_v3``: contextual RPE bias
+     ``q . T_q[ridx] + k . T_k[ridx]`` summed over the 3 quantized axes
+     (``relative_pos_encoding_cuda_kernel_v2.cu:248-283``);
+  3. ``scatter_softmax`` over pairs grouped by query;
+  4. ``attention_step2_with_rel_pos_value_v2``:
+     ``out_q = sum_j p_qj * (v_j + sum_a T_v[ridx_a])``
+     (``relative_pos_encoding_cuda_kernel_v2.cu:397-438``).
+
+Here the whole chain is ONE op with two key sets per query and a joint
+softmax:
+  * dense keys — the query's (small) window, which after sorting by window
+    key is the contiguous range ``[seg_start, seg_end)``; evaluated over a
+    fixed-width band of the sorted order (block-diagonal masked attention,
+    MXU-shaped batched matmuls);
+  * sparse keys — a fixed-capacity gathered list (the FPS-downsampled points
+    of the query's large window, excluding its own small window; see
+    ``ops.windows.sparse_key_table``).
+
+`pair_attention_reference` is the numerical oracle: explicit (padded) pair
+lists evaluated exactly like the CUDA chain, used by the test-suite the same
+way the reference uses its v1-vs-v2 scripts
+(``lib/pointops2/functions/test_attention_op_step1_v2.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def relative_position_index(rel, window_size, quant_size, num_bins):
+    """Quantized relative-position bin per axis.
+
+    Mirrors ``model/stratified_transformer.py:186-190``: round coordinates to
+    1e-5, then ``floor((rel + 2*window - 1e-4) / quant)``; valid range is
+    ``[0, 2*quant_grid_length)``.
+    """
+    rel = jnp.round(rel.astype(jnp.float32) * 1e5) / 1e5
+    ridx = jnp.floor((rel + 2.0 * window_size - 1e-4) / quant_size)
+    return jnp.clip(ridx, 0, num_bins - 1).astype(jnp.int32)
+
+
+def _table_bias_from_proj(proj, ridx):
+    """``out[..., j] = sum_a proj[..., ridx[..., j, a], a]``.
+
+    proj: ``[T, h, L, 3]`` (q or k projected onto every table row);
+    ridx: ``[T, J, 3]``  ->  ``[T, h, J]``.
+    """
+    g = jnp.take_along_axis(proj, ridx[:, None, :, :], axis=2)  # [T,h,J,3]
+    return jnp.sum(g, axis=-1)
+
+
+def pair_attention_reference(
+    q,
+    k,
+    v,
+    xyz,
+    pair_i,
+    pair_j,
+    pair_mask,
+    *,
+    window_size,
+    quant_size,
+    scale,
+    table_q=None,
+    table_k=None,
+    table_v=None,
+):
+    """Oracle: reference math over explicit pair lists.
+
+    Args:
+      q/k/v: ``[N, h, d]`` float; xyz: ``[N, 3]``.
+      pair_i/pair_j: ``[M]`` int32 query/key point indices (padded).
+      pair_mask: ``[M]`` bool.
+      table_*: optional ``[2L, h, d, 3]`` cRPE tables.
+
+    Returns:
+      ``[N, h, d]`` float32 attention output (zeros for queries w/o pairs).
+    """
+    n = q.shape[0]
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    pi = jnp.clip(pair_i, 0, n - 1)
+    pj = jnp.clip(pair_j, 0, n - 1)
+    logits = jnp.einsum("mhd,mhd->mh", qf[pi], kf[pj],
+                        precision=jax.lax.Precision.HIGHEST)
+
+    num_bins = None
+    if table_q is not None or table_k is not None or table_v is not None:
+        t = table_q if table_q is not None else (
+            table_k if table_k is not None else table_v)
+        num_bins = t.shape[0]
+        rel = xyz[pi] - xyz[pj]
+        ridx = relative_position_index(rel, window_size, quant_size, num_bins)
+    if table_q is not None:
+        # bias_q[m,h] = sum_a q_i . T_q[ridx_a, h, :, a]
+        tq = table_q.astype(jnp.float32)
+        for a in range(3):
+            logits += jnp.einsum(
+                "mhd,mhd->mh", qf[pi], tq[ridx[:, a], :, :, a],
+                precision=jax.lax.Precision.HIGHEST)
+    if table_k is not None:
+        tk = table_k.astype(jnp.float32)
+        for a in range(3):
+            logits += jnp.einsum(
+                "mhd,mhd->mh", kf[pj], tk[ridx[:, a], :, :, a],
+                precision=jax.lax.Precision.HIGHEST)
+
+    logits = jnp.where(pair_mask[:, None], logits, NEG_INF)
+    seg_i = jnp.where(pair_mask, pi, n)
+    mx = jax.ops.segment_max(logits, seg_i, num_segments=n + 1)[:n]
+    mx = jnp.maximum(mx, NEG_INF)
+    p = jnp.where(pair_mask[:, None], jnp.exp(logits - mx[pi]), 0.0)
+    denom = jax.ops.segment_sum(p, seg_i, num_segments=n + 1)[:n]
+
+    vals = vf[pj]
+    if table_v is not None:
+        tv = table_v.astype(jnp.float32)
+        for a in range(3):
+            vals = vals + tv[ridx[:, a], :, :, a]
+    out = jax.ops.segment_sum(
+        p[:, :, None] * vals, seg_i, num_segments=n + 1
+    )[:n]
+    denom = jnp.maximum(denom, 1e-20)
+    return out / denom[:, :, None]
+
+
+def stratified_attention(
+    q,
+    k,
+    v,
+    xyz,
+    seg_start,
+    seg_end,
+    valid,
+    sparse_idx=None,
+    sparse_mask=None,
+    table_q=None,
+    table_k=None,
+    table_v=None,
+    *,
+    window_size,
+    quant_size,
+    scale,
+    band,
+    tile=128,
+    tile_batch=16,
+):
+    """Fused banded + sparse window attention (production jnp path).
+
+    Everything is computed per query-tile of ``tile`` sorted points; the
+    dense key set is the band ``[tile_start - band, tile_end + band)`` of the
+    sorted order, masked to each query's own segment; the sparse key set is
+    gathered by ``sparse_idx``. One online softmax spans both.
+
+    Args:
+      q/k/v: ``[N, h, d]`` in window-sorted order; ``N % tile == 0``.
+      xyz: ``[N, 3]`` sorted coordinates.
+      seg_start/seg_end: ``[N]`` int32 segment bounds (sorted positions).
+      valid: ``[N]`` bool.
+      sparse_idx: optional ``[N, S]`` int32 sorted-space indices (-1 empty).
+      sparse_mask: optional ``[N, S]`` bool.
+      table_*: optional ``[2L, h, d, 3]`` cRPE tables.
+      band: static one-sided band width; windows larger than the band are
+        truncated (capacity capping — reference precedent
+        ``util/voxelize.py:38-42``).
+      tile: static query tile (multiple of 8; 128 aligns with the MXU).
+      tile_batch: tiles processed per ``lax.map`` step (chunked vmap) —
+        larger = better MXU batching, more transient memory.
+
+    Returns:
+      ``[N, h, d]`` float32.
+    """
+    n, h, d = q.shape
+    assert n % tile == 0, (n, tile)
+    nt = n // tile
+    w = tile + 2 * band
+
+    qf = jnp.asarray(q, jnp.float32) * scale
+    kf = jnp.asarray(k, jnp.float32)
+    vf = jnp.asarray(v, jnp.float32)
+    xf = jnp.asarray(xyz, jnp.float32)
+    seg_start = jnp.asarray(seg_start)
+    seg_end = jnp.asarray(seg_end)
+    valid = jnp.asarray(valid)
+    if sparse_idx is not None:
+        sparse_idx = jnp.asarray(sparse_idx)
+        sparse_mask = jnp.asarray(sparse_mask)
+
+    kx = jnp.pad(kf, ((band, band), (0, 0), (0, 0)))
+    vx = jnp.pad(vf, ((band, band), (0, 0), (0, 0)))
+    xx = jnp.pad(xf, ((band, band), (0, 0)))
+    validx = jnp.pad(valid, (band, band))
+
+    use_rpe = table_q is not None or table_k is not None or table_v is not None
+    num_bins = 0
+    if use_rpe:
+        t = table_q if table_q is not None else (
+            table_k if table_k is not None else table_v)
+        num_bins = t.shape[0]
+    tqf = None if table_q is None else table_q.astype(jnp.float32)
+    tkf = None if table_k is None else table_k.astype(jnp.float32)
+    tvf = None if table_v is None else table_v.astype(jnp.float32)
+
+    use_sparse = sparse_idx is not None
+    s_cap = 0 if not use_sparse else sparse_idx.shape[1]
+
+    @jax.checkpoint
+    def tile_body(t_idx):
+        t0 = t_idx * tile
+        q_t = jax.lax.dynamic_slice_in_dim(qf, t0, tile)          # [T,h,d]
+        x_t = jax.lax.dynamic_slice_in_dim(xf, t0, tile)          # [T,3]
+        ss_t = jax.lax.dynamic_slice_in_dim(seg_start, t0, tile)
+        se_t = jax.lax.dynamic_slice_in_dim(seg_end, t0, tile)
+        val_t = jax.lax.dynamic_slice_in_dim(valid, t0, tile)
+
+        k_b = jax.lax.dynamic_slice_in_dim(kx, t0, w)             # [W,h,d]
+        v_b = jax.lax.dynamic_slice_in_dim(vx, t0, w)
+        x_b = jax.lax.dynamic_slice_in_dim(xx, t0, w)
+        val_b = jax.lax.dynamic_slice_in_dim(validx, t0, w)
+        pos_b = t0 - band + jnp.arange(w, dtype=jnp.int32)        # [W]
+
+        logits_b = jnp.einsum(
+            "thd,whd->thw", q_t, k_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        in_seg = (pos_b[None, :] >= ss_t[:, None]) & (
+            pos_b[None, :] < se_t[:, None]
+        )
+        mask_b = in_seg & val_t[:, None] & val_b[None, :]         # [T,W]
+
+        # cRPE biases via one-hot matmuls — TPU-friendly (pure MXU work, no
+        # gathers; gathers lower to scalar loops on TPU and are ~50x slower).
+        ridx_b = None
+        if use_rpe:
+            rel_b = x_t[:, None, :] - x_b[None, :, :]             # [T,W,3]
+            ridx_b = relative_position_index(
+                rel_b, window_size, quant_size, num_bins)
+            bins = jnp.arange(num_bins, dtype=jnp.int32)
+            for a in range(3):
+                oh = (ridx_b[:, :, a, None] == bins).astype(
+                    jnp.float32)                                  # [T,W,L]
+                if tqf is not None:
+                    qproj_a = jnp.einsum(
+                        "thd,lhd->thl", q_t, tqf[:, :, :, a],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    logits_b += jnp.einsum(
+                        "thl,twl->thw", qproj_a, oh,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                if tkf is not None:
+                    kproj_a = jnp.einsum(
+                        "whd,lhd->whl", k_b, tkf[:, :, :, a],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    logits_b += jnp.einsum(
+                        "twl,whl->thw", oh, kproj_a,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+        logits_b = jnp.where(mask_b[:, None, :], logits_b, NEG_INF)
+
+        if use_sparse:
+            si_t = jax.lax.dynamic_slice_in_dim(sparse_idx, t0, tile)  # [T,S]
+            sm_t = jax.lax.dynamic_slice_in_dim(sparse_mask, t0, tile)
+            sg = jnp.clip(si_t, 0, n - 1)
+            k_s = kf[sg]                                           # [T,S,h,d]
+            v_s = vf[sg]
+            x_s = xf[sg]
+            sm_t = sm_t & (si_t >= 0) & val_t[:, None]
+            logits_s = jnp.einsum(
+                "thd,tshd->ths", q_t, k_s,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            oh_s = None
+            if use_rpe:
+                rel_s = x_t[:, None, :] - x_s                      # [T,S,3]
+                ridx_s = relative_position_index(
+                    rel_s, window_size, quant_size, num_bins)
+                bins = jnp.arange(num_bins, dtype=jnp.int32)
+                oh_s = [
+                    (ridx_s[:, :, a, None] == bins).astype(jnp.float32)
+                    for a in range(3)
+                ]                                                  # [T,S,L] x3
+                for a in range(3):
+                    if tqf is not None:
+                        qproj_a = jnp.einsum(
+                            "thd,lhd->thl", q_t, tqf[:, :, :, a],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        logits_s += jnp.einsum(
+                            "thl,tsl->ths", qproj_a, oh_s[a],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                    if tkf is not None:
+                        # bias_k[t,s] = sum_l oh[t,s,l] * (k_s[t,s] . Tk[l])
+                        kp = jnp.einsum(
+                            "tshd,lhd->tshl", k_s, tkf[:, :, :, a],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        logits_s += jnp.einsum(
+                            "tshl,tsl->ths", kp, oh_s[a],
+                            precision=jax.lax.Precision.HIGHEST)
+            logits_s = jnp.where(sm_t[:, None, :], logits_s, NEG_INF)
+            mx = jnp.maximum(
+                jnp.max(logits_b, axis=-1), jnp.max(logits_s, axis=-1)
+            )                                                      # [T,h]
+        else:
+            mx = jnp.max(logits_b, axis=-1)
+
+        mx = jnp.maximum(mx, NEG_INF)
+        p_b = jnp.where(
+            mask_b[:, None, :], jnp.exp(logits_b - mx[:, :, None]), 0.0
+        )
+        denom = jnp.sum(p_b, axis=-1)                              # [T,h]
+        out = jnp.einsum(
+            "thw,whd->thd", p_b, v_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        if tvf is not None:
+            # Probability-mass-per-bin trick: out += sum_l mass[t,h,l,a]*Tv[l]
+            for a in range(3):
+                oh = jax.nn.one_hot(
+                    ridx_b[:, :, a], num_bins, dtype=jnp.float32)  # [T,W,L]
+                mass = jnp.einsum("thw,twl->thl", p_b, oh,
+                                  precision=jax.lax.Precision.HIGHEST)
+                out += jnp.einsum("thl,lhd->thd", mass, tvf[:, :, :, a],
+                                  precision=jax.lax.Precision.HIGHEST)
+
+        if use_sparse:
+            p_s = jnp.where(
+                sm_t[:, None, :], jnp.exp(logits_s - mx[:, :, None]), 0.0
+            )
+            denom += jnp.sum(p_s, axis=-1)
+            out += jnp.einsum(
+                "ths,tshd->thd", p_s, v_s,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            if tvf is not None:
+                for a in range(3):
+                    mass_s = jnp.einsum(
+                        "ths,tsl->thl", p_s, oh_s[a],
+                        precision=jax.lax.Precision.HIGHEST)
+                    out += jnp.einsum(
+                        "thl,lhd->thd", mass_s, tvf[:, :, :, a],
+                        precision=jax.lax.Precision.HIGHEST)
+
+        denom = jnp.maximum(denom, 1e-20)
+        return out / denom[:, :, None]
+
+    out_tiles = jax.lax.map(
+        tile_body, jnp.arange(nt, dtype=jnp.int32),
+        batch_size=min(tile_batch, nt) if tile_batch else None)
+    return out_tiles.reshape(n, h, d)

@@ -1,0 +1,165 @@
+"""Fused attention front-end: Pallas band kernel + XLA sparse half.
+
+``stratified_attention_fused`` is a drop-in replacement for
+``ops.attention.stratified_attention``: the dense (band) half runs as the
+Pallas kernel (`ops.pallas.fused_attention.band_attention`), the sparse
+(far-key) half as a small gathered XLA computation, and the two are merged
+by online-softmax composition. The backward pass is delegated (via
+``jax.custom_vjp``) to the VJP of the jnp reference implementation — exact
+gradients, kernel-accelerated forward; a Pallas backward is the next
+optimisation stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stratified_transformer_tpu.ops import attention as jnp_attn
+from stratified_transformer_tpu.ops.pallas.fused_attention import (
+    band_attention,
+)
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,
+                 table_q, table_k, table_v, *, window_size, quant_size,
+                 scale):
+    """Unnormalised (acc, m, denom) for the sparse keys (XLA)."""
+    n, h, d = q.shape
+    qf = jnp.asarray(q, jnp.float32) * scale
+    kf = jnp.asarray(k, jnp.float32)
+    vf = jnp.asarray(v, jnp.float32)
+    xf = jnp.asarray(xyz, jnp.float32)
+
+    sg = jnp.clip(sparse_idx, 0, n - 1)
+    ok = sparse_mask & (sparse_idx >= 0) & valid[:, None]
+    k_s = kf[sg]                                   # [N,S,h,d]
+    v_s = vf[sg]
+    logits = jnp.einsum(
+        "nhd,nshd->nhs", qf, k_s,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    oh = None
+    if table_q is not None:
+        nbins = table_q.shape[0]
+        rel = xf[:, None, :] - xf[sg]
+        ridx = jnp_attn.relative_position_index(
+            rel, window_size, quant_size, nbins)    # [N,S,3]
+        bins = jnp.arange(nbins, dtype=jnp.int32)
+        oh = [(ridx[:, :, a, None] == bins).astype(jnp.float32)
+              for a in range(3)]                    # [N,S,L] x3
+        tqf = table_q.astype(jnp.float32)
+        tkf = table_k.astype(jnp.float32) if table_k is not None else None
+        for a in range(3):
+            qproj_a = jnp.einsum(
+                "nhd,lhd->nhl", qf, tqf[:, :, :, a],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            logits += jnp.einsum(
+                "nhl,nsl->nhs", qproj_a, oh[a],
+                precision=jax.lax.Precision.HIGHEST)
+            if tkf is not None:
+                kp = jnp.einsum(
+                    "nshd,lhd->nshl", k_s, tkf[:, :, :, a],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                logits += jnp.einsum(
+                    "nshl,nsl->nsh", kp, oh[a],
+                    precision=jax.lax.Precision.HIGHEST).transpose(0, 2, 1)
+
+    logits = jnp.where(ok[:, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.where(ok[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
+    den = jnp.sum(p, axis=-1)
+    acc = jnp.einsum(
+        "nhs,nshd->nhd", p, v_s,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    if table_v is not None:
+        tvf = table_v.astype(jnp.float32)
+        for a in range(3):
+            mass = jnp.einsum(
+                "nhs,nsl->nhl", p, oh[a],
+                precision=jax.lax.Precision.HIGHEST)
+            acc += jnp.einsum(
+                "nhl,lhd->nhd", mass, tvf[:, :, :, a],
+                precision=jax.lax.Precision.HIGHEST)
+    return acc, m, den
+
+
+def _merge(parts):
+    """Compose online-softmax triples: [(acc, m, den), ...] -> normalised."""
+    m = functools.reduce(jnp.maximum, [p[1] for p in parts])
+    m = jnp.maximum(m, NEG_INF)
+    acc = 0.0
+    den = 0.0
+    for a, mi, di in parts:
+        s = jnp.exp(mi - m)
+        acc = acc + a * s[:, :, None]
+        den = den + di * s
+    den = jnp.maximum(den, 1e-20)
+    return acc / den[:, :, None]
+
+
+def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
+              sparse_mask, table_q, table_k, table_v, *, window_size,
+              quant_size, scale, band, tile, w_chunk, interpret):
+    parts = [band_attention(
+        q, k, v, xyz, seg_start, seg_end, valid,
+        table_q, table_k, table_v,
+        window_size=window_size, quant_size=quant_size, scale=scale,
+        band=band, tile=tile, w_chunk=w_chunk, interpret=interpret)]
+    if sparse_idx is not None:
+        parts.append(_sparse_half(
+            q, k, v, xyz, valid, sparse_idx, sparse_mask,
+            table_q, table_k, table_v, window_size=window_size,
+            quant_size=quant_size, scale=scale))
+    return _merge(parts)
+
+
+def stratified_attention_fused(
+    q, k, v, xyz, seg_start, seg_end, valid,
+    sparse_idx=None, sparse_mask=None,
+    table_q=None, table_k=None, table_v=None,
+    *, window_size, quant_size, scale, band, tile=128, w_chunk=128,
+    interpret=False,
+):
+    """Drop-in fused (Pallas) variant of
+    ``ops.attention.stratified_attention``."""
+
+    kw = dict(window_size=window_size, quant_size=quant_size, scale=scale,
+              band=band, tile=tile)
+
+    def reference(q, k, v, tq, tk, tv):
+        return jnp_attn.stratified_attention(
+            q, k, v, xyz, seg_start, seg_end, valid,
+            sparse_idx=sparse_idx, sparse_mask=sparse_mask,
+            table_q=tq, table_k=tk, table_v=tv, **kw)
+
+    @jax.custom_vjp
+    def f(q, k, v, tq, tk, tv):
+        return _fwd_impl(
+            q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
+            sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
+            interpret=interpret)
+
+    def f_fwd(q, k, v, tq, tk, tv):
+        return f(q, k, v, tq, tk, tv), (q, k, v, tq, tk, tv)
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(reference, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    dummy = None
+    tq = table_q
+    tk = table_k
+    tv = table_v
+    if tq is None:
+        return f(q, k, v, dummy, dummy, dummy)
+    return f(q, k, v, tq, tk, tv)

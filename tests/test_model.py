@@ -1,0 +1,119 @@
+"""Model-level smoke + training tests on a tiny config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stratified_transformer_tpu.data.collate import collate_scenes
+from stratified_transformer_tpu.data.datasets import SyntheticRooms
+from stratified_transformer_tpu.data.prepare import with_xyz_concat
+from stratified_transformer_tpu.models.stratified import (
+    Stratified, StratifiedConfig)
+from stratified_transformer_tpu.train.schedulers import multi_step
+from stratified_transformer_tpu.train.state import create_train_state
+from stratified_transformer_tpu.train.step import make_eval_step, make_train_step
+
+TINY = StratifiedConfig(
+    num_classes=5, in_channels=6, channels=(8, 16), depths=(1, 1),
+    num_heads=(2, 4), num_layers=2, n_pad=512, num_scenes=2,
+    band=32, tile=32, sparse_cap=16, sampler="grid",
+    drop_path_rate=0.1,
+)
+
+
+def make_batch(cfg, seed=0, with_shift=False):
+    ds = SyntheticRooms(
+        num_scenes=cfg.num_scenes, points=220, extent=2.0,
+        num_classes=cfg.num_classes, voxel_size=0.04,
+        voxel_max=cfg.n_pad // cfg.num_scenes, with_shift=with_shift,
+        seed=seed)
+    scenes = [with_xyz_concat(ds[i]) for i in range(cfg.num_scenes)]
+    b = collate_scenes(scenes, cfg.n_pad, cfg.num_scenes, ignore_label=255)
+    out = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,
+           "labels": b.labels}
+    if with_shift:
+        out["target_shift"] = b.target_shift
+    return out
+
+
+def test_forward_shapes_and_masking():
+    cfg = TINY
+    model = Stratified(cfg)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "droppath": rng},
+        batch["feats"], batch["xyz"], batch["offsets"], training=False)
+    logits, shift = model.apply(
+        variables, batch["feats"], batch["xyz"], batch["offsets"],
+        training=False)
+    assert logits.shape == (cfg.n_pad, cfg.num_classes)
+    assert shift is None
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_loss_decreases():
+    cfg = TINY
+    model = Stratified(cfg)
+    batch = make_batch(cfg)
+    schedule = multi_step(0.01, [100], 0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (batch["feats"], batch["xyz"], batch["offsets"]), schedule)
+    step = jax.jit(make_train_step(ignore_label=255, num_classes=cfg.num_classes))
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(8):
+        state, stats = step(state, batch, rng)
+        if first is None:
+            first = float(stats["loss"])
+    last = float(stats["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_regressor_head_and_offset_loss():
+    cfg = StratifiedConfig(**{**TINY.__dict__, "with_regressor": True})
+    model = Stratified(cfg)
+    batch = make_batch(cfg, with_shift=True)
+    schedule = multi_step(0.01, [100], 0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (batch["feats"], batch["xyz"], batch["offsets"]), schedule)
+    step = jax.jit(make_train_step(
+        ignore_label=255, num_classes=cfg.num_classes, offset_weight=1.0))
+    state, stats = step(state, batch, jax.random.PRNGKey(1))
+    assert float(stats["loss_offset"]) > 0.0
+
+
+def test_eval_step_counts():
+    cfg = TINY
+    model = Stratified(cfg)
+    batch = make_batch(cfg)
+    schedule = multi_step(0.01, [100], 0.1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (batch["feats"], batch["xyz"], batch["offsets"]), schedule)
+    ev = jax.jit(make_eval_step(ignore_label=255, num_classes=cfg.num_classes))
+    logits, shift, stats = ev(state, batch)
+    n_valid = int(batch["offsets"][-1])
+    assert int(stats["target"].sum()) <= n_valid
+    assert (np.asarray(stats["intersection"]) <= np.asarray(stats["union"]) + 1e-6).all()
+
+
+def test_blocks_lr_scale_applied():
+    from stratified_transformer_tpu.train.state import lr_scale_by_path
+    cfg = TINY
+    model = Stratified(cfg)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "droppath": rng},
+        batch["feats"], batch["xyz"], batch["offsets"], training=False)
+    scales = lr_scale_by_path(variables["params"], "blocks", 0.1)
+    leaves = jax.tree_util.tree_leaves_with_path(scales)
+    block_leaves = [v for p, v in leaves if "blocks" in str(p)]
+    other_leaves = [v for p, v in leaves if "blocks" not in str(p)]
+    assert block_leaves and all(v == 0.1 for v in block_leaves)
+    assert other_leaves and all(v == 1.0 for v in other_leaves)

@@ -1,0 +1,67 @@
+"""Parity tests for the C++ host-ingest library vs the numpy reference."""
+
+import numpy as np
+import pytest
+
+from stratified_transformer_tpu.data import native
+import stratified_transformer_tpu.data.voxelize as vx
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="C++ toolchain unavailable")
+
+
+@needs_native
+def test_voxel_hash_matches_numpy_fnv(rng):
+    coord = rng.uniform(0, 4, (5000, 3)).astype(np.float32)
+    keys_np = vx.fnv_hash_vec(np.floor(coord / 0.04).astype(np.int64))
+    keys_cc = np.empty(5000, np.uint64)
+    native._load().voxel_hash(
+        np.ascontiguousarray(coord), 5000, 0.04, keys_cc)
+    assert (keys_np == keys_cc).all()
+
+
+@needs_native
+def test_voxel_select_counts(rng):
+    coord = rng.uniform(0, 4, (5000, 3)).astype(np.float32)
+    idx = native.voxelize(coord, 0.04, mode=0, seed=1)
+    idx_np = vx.voxelize(coord, 0.04, mode=0)
+    assert len(idx) == len(idx_np)  # one pick per voxel
+    s, c = native.voxelize(coord, 0.04, mode=1)
+    s2, c2 = vx.voxelize(coord, 0.04, mode=1)
+    assert np.array_equal(np.sort(c), np.sort(np.asarray(c2)))
+    assert c.sum() == 5000
+
+
+@needs_native
+def test_grid_subsample_barycenters(rng):
+    coord = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
+    feats = rng.normal(size=(2000, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 2000).astype(np.int32)
+    p, f, l = native.grid_subsample(coord, feats, labels, 0.25)
+    # brute-force check of one cell
+    mins = coord.min(0)
+    keys = np.floor((coord - mins) / 0.25).astype(np.int64)
+    cell0 = (keys == keys[0]).all(1)
+    expect = coord[cell0].mean(0)
+    d = np.abs(p - expect).sum(1)
+    assert d.min() < 1e-4
+    assert len(p) == len(np.unique(keys, axis=0))
+
+
+@needs_native
+def test_radius_neighbors_matches_bruteforce(rng):
+    pts = rng.uniform(0, 1, (400, 3)).astype(np.float32)
+    offs = np.array([250, 400], np.int64)
+    out = native.radius_neighbors(pts, offs, 0.15, 6)
+    start = 0
+    for e in offs:
+        seg = slice(start, e)
+        d2 = ((pts[seg, None] - pts[None, seg]) ** 2).sum(-1)
+        for i in range(e - start):
+            inside = set((np.where(d2[i] <= 0.15 ** 2)[0] + start).tolist())
+            got = set(int(j) for j in out[start + i] if j >= 0)
+            if len(inside) <= 6:
+                assert got == inside
+            else:
+                assert got <= inside and len(got) == 6
+        start = e

@@ -1,0 +1,98 @@
+"""Pallas fused attention vs the jnp production path (interpret mode on CPU;
+the same test compiles natively on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stratified_transformer_tpu.ops import attention as jnp_attn
+from stratified_transformer_tpu.ops import plan as plan_mod
+from stratified_transformer_tpu.ops.attention_fused import (
+    stratified_attention_fused)
+
+H, D = 2, 8
+WS = 0.5
+QUANT = 0.125
+NBINS = 2 * int((2 * WS + 1e-4) // QUANT)
+SCALE = D ** -0.5
+TILE = 32
+BAND = 32
+WCHUNK = 32
+
+
+def _setup(rng, n_valid=100, n_pad=128, with_sparse=True):
+    xyz = rng.uniform(0, 2, (n_pad, 3)).astype(np.float32)
+    batch = np.sort(rng.integers(0, 2, n_valid)).astype(np.int32)
+    batch = np.concatenate([batch, np.full(n_pad - n_valid, 2, np.int32)])
+    valid = np.arange(n_pad) < n_valid
+    q = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    k = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    v = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    is_down = ((rng.uniform(size=n_pad) < 0.4) & valid) if with_sparse \
+        else None
+    plan = plan_mod.build_attention_plan(
+        jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), WS,
+        shifted=False,
+        is_down=None if is_down is None else jnp.asarray(is_down),
+        sparse_cap=16)
+    o = plan.order
+    return plan, jnp.asarray(q)[o], jnp.asarray(k)[o], jnp.asarray(v)[o]
+
+
+def _tables(rng):
+    return tuple(
+        jnp.asarray((rng.normal(size=(NBINS, H, D, 3)) * 0.05)
+                    .astype(np.float32)) for _ in range(3))
+
+
+@pytest.mark.parametrize("with_rpe", [False, True])
+def test_fused_matches_jnp(rng, with_rpe):
+    plan, q, k, v = _setup(rng)
+    tq, tk, tv = _tables(rng) if with_rpe else (None, None, None)
+    kw = dict(window_size=WS, quant_size=QUANT, scale=SCALE, band=BAND,
+              tile=TILE)
+    ref = jnp_attn.stratified_attention(
+        q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+        plan.valid_sorted, sparse_idx=plan.sparse_idx,
+        sparse_mask=plan.sparse_mask, table_q=tq, table_k=tk, table_v=tv,
+        **kw)
+    got = stratified_attention_fused(
+        q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+        plan.valid_sorted, sparse_idx=plan.sparse_idx,
+        sparse_mask=plan.sparse_mask, table_q=tq, table_k=tk, table_v=tv,
+        **kw, w_chunk=WCHUNK, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gradients_match(rng):
+    plan, q, k, v = _setup(rng, n_valid=60, n_pad=64)
+    tq, tk, tv = _tables(rng)
+    cot = jnp.asarray(
+        rng.normal(size=(64, H, D)).astype(np.float32))
+    kw = dict(window_size=WS, quant_size=QUANT, scale=SCALE, band=BAND,
+              tile=TILE)
+
+    def loss_ref(q_, k_, v_, a, b, c):
+        out = jnp_attn.stratified_attention(
+            q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+            plan.valid_sorted, sparse_idx=plan.sparse_idx,
+            sparse_mask=plan.sparse_mask, table_q=a, table_k=b,
+            table_v=c, **kw)
+        return jnp.sum(out * cot)
+
+    def loss_fused(q_, k_, v_, a, b, c):
+        out = stratified_attention_fused(
+            q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+            plan.valid_sorted, sparse_idx=plan.sparse_idx,
+            sparse_mask=plan.sparse_mask, table_q=a, table_k=b,
+            table_v=c, **kw, w_chunk=WCHUNK, interpret=True)
+        return jnp.sum(out * cot)
+
+    g_r = jax.grad(loss_ref, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
+    g_f = jax.grad(loss_fused, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
+    for a, b, name in zip(g_r, g_f, "q k v tq tk tv".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=name)

@@ -1,0 +1,84 @@
+"""Tests for FPS and grid-pool sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stratified_transformer_tpu.ops import sampling
+from reference_impl import np_fps
+
+
+def test_fps_matches_reference(rng):
+    n1, n2 = 60, 45
+    n_pad = 128
+    xyz = rng.uniform(0, 2, (n_pad, 3)).astype(np.float32)
+    offsets = np.array([n1, n1 + n2], np.int32)
+    counts = offsets - np.array([0, n1])
+    new_counts = sampling.floor_ratio_counts(jnp.asarray(counts), 0.25)
+    new_offsets = np.asarray(sampling.counts_to_offsets(new_counts))
+
+    idx, valid = sampling.farthest_point_sampling(
+        jnp.asarray(xyz), jnp.asarray(offsets), jnp.asarray(new_offsets),
+        out_pad=40,
+    )
+    idx = np.asarray(idx)
+    valid = np.asarray(valid)
+
+    expect = np_fps(xyz, offsets.tolist(), new_offsets.tolist())
+    m = new_offsets[-1]
+    assert valid[:m].all() and not valid[m:].any()
+    np.testing.assert_array_equal(idx[:m], expect)
+
+
+def test_fps_single_scene(rng):
+    n = 50
+    n_pad = 64
+    xyz = rng.uniform(0, 1, (n_pad, 3)).astype(np.float32)
+    offsets = np.array([n], np.int32)
+    new_offsets = np.array([13], np.int32)
+    idx, valid = sampling.farthest_point_sampling(
+        jnp.asarray(xyz), jnp.asarray(offsets), jnp.asarray(new_offsets),
+        out_pad=16,
+    )
+    expect = np_fps(xyz, [n], [13])
+    np.testing.assert_array_equal(np.asarray(idx)[:13], expect)
+
+
+def test_grid_pool_basics(rng):
+    n1, n2 = 70, 50
+    n_pad = 128
+    xyz = rng.uniform(0, 2, (n_pad, 3)).astype(np.float32)
+    offsets = np.array([n1, n1 + n2], np.int32)
+    counts = offsets - np.array([0, n1])
+    new_counts = sampling.floor_ratio_counts(jnp.asarray(counts), 0.25)
+    new_offsets = sampling.counts_to_offsets(new_counts)
+
+    idx, valid = sampling.grid_pool_sampling(
+        jnp.asarray(xyz), jnp.asarray(offsets), new_offsets,
+        out_pad=48, cell_size=0.4,
+    )
+    idx = np.asarray(idx)
+    valid = np.asarray(valid)
+    new_offsets = np.asarray(new_offsets)
+
+    batch = np.searchsorted(offsets, np.arange(n_pad), side="right")
+    # every valid sample is a real point of the right scene, no duplicates
+    starts = np.array([0, n1])
+    sel0 = idx[valid & (np.arange(48) < new_offsets[0])]
+    sel1 = idx[valid & (np.arange(48) >= new_offsets[0])]
+    assert (batch[sel0] == 0).all()
+    assert (batch[sel1] == 1).all()
+    assert len(set(sel0.tolist())) == len(sel0)
+    assert len(set(sel1.tolist())) == len(sel1)
+    # respects per-scene caps
+    assert (valid[: new_offsets[0]].sum()) <= new_offsets[0]
+    # samples cover the scene reasonably (at least one per occupied cell,
+    # up to the cap)
+    assert valid.sum() > 8
+
+
+def test_floor_ratio_counts():
+    counts = jnp.asarray([16, 17, 1, 100])
+    out = np.asarray(sampling.floor_ratio_counts(counts, 0.25))
+    np.testing.assert_array_equal(out, [5, 5, 1, 26])
+    out8 = np.asarray(sampling.floor_ratio_counts(counts, 1.0 / 8.0))
+    np.testing.assert_array_equal(out8, [3, 3, 1, 13])

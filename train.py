@@ -1,0 +1,339 @@
+"""Training driver: ``python train.py --config configs/<cfg>.yaml [k v ...]``.
+
+TPU-native re-design of the reference drivers (``train.py`` /
+``train_backup.py``): one process drives the whole chip mesh (no
+``mp.spawn``); data parallelism is a ``Mesh`` + ``shard_map`` step with
+gradient ``pmean`` and SyncBN ``psum`` (reference DDP + SyncBatchNorm,
+``train.py:88-105,152-161``); schedules are pure functions of the step;
+checkpoints are orbax pytrees.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+def get_parser():
+    parser = argparse.ArgumentParser("stratified-transformer-tpu training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="config overrides: key value [key value ...]")
+    return parser.parse_args()
+
+
+def build_model_config(cfg, n_devices):
+    from stratified_transformer_tpu.models.stratified import StratifiedConfig
+
+    tile = int(cfg.get("tile", 128))
+    scenes_per_device = max(
+        int(cfg.get("batch_size", 8)) // max(n_devices, 1), 1)
+    n_pad = int(cfg.get("max_batch_points", 140000))
+    # per-device flat capacity
+    n_pad = max(
+        (n_pad // max(n_devices, 1) + tile - 1) // tile * tile, tile)
+    fea_dim = int(cfg.get("fea_dim", 6))
+    in_ch = fea_dim if cfg.get("concat_xyz", True) else fea_dim - 3
+    return StratifiedConfig(
+        num_classes=int(cfg.get("classes", 13)),
+        in_channels=in_ch,
+        channels=tuple(cfg.get("channels")),
+        depths=tuple(cfg.get("depths")),
+        num_heads=tuple(cfg.get("num_heads")),
+        num_layers=int(cfg.get("num_layers")),
+        window_size=float(cfg.get("window_size", 4)),
+        patch_size=float(cfg.get("patch_size", 1)),
+        grid_size=float(cfg.get("grid_size", 0.04)),
+        quant_size=float(cfg.get("quant_size", 0.01)),
+        downsample_scale=int(cfg.get("downsample_scale", 8)),
+        rel_query=bool(cfg.get("rel_query", True)),
+        rel_key=bool(cfg.get("rel_key", True)),
+        rel_value=bool(cfg.get("rel_value", True)),
+        drop_path_rate=float(cfg.get("drop_path_rate", 0.3)),
+        concat_xyz=bool(cfg.get("concat_xyz", True)),
+        stem_transformer=bool(cfg.get("stem_transformer", True)),
+        up_k=int(cfg.get("up_k", 3)),
+        ratio=float(cfg.get("ratio", 0.25)),
+        k=int(cfg.get("k", 16)),
+        max_num_neighbors=int(cfg.get("max_num_neighbors", 34)),
+        with_regressor=bool(cfg.get("with_regressor", False)),
+        activation=str(cfg.get("activation", "Relu")),
+        n_pad=n_pad,
+        num_scenes=scenes_per_device,
+        band=int(cfg.get("band", 128)),
+        tile=tile,
+        sparse_cap=int(cfg.get("sparse_cap", 48)),
+        sampler=str(cfg.get("sampler", "grid")),
+        bn_axis_name="data" if (
+            n_devices > 1 and cfg.get("sync_bn", True)) else None,
+        attn_impl=str(cfg.get("attn_impl", "reference")),
+        w_chunk=int(cfg.get("w_chunk", 128)),
+    )
+
+
+def build_dataset(cfg, split, mcfg):
+    from stratified_transformer_tpu.data import transforms as T
+    from stratified_transformer_tpu.data import datasets
+
+    name = cfg.get("data_name", "synthetic")
+    voxel_max = cfg.get("voxel_max")
+    aug = bool(cfg.get("aug", False)) and split == "train"
+    tfm = None
+    if aug:
+        tfm = T.Compose([
+            T.RandomRotate(along_z=cfg.get("rotate_along_z", True)),
+            T.RandomScale(cfg.get("scale_low", 0.8),
+                          cfg.get("scale_high", 1.2)),
+            T.RandomJitter(cfg.get("jitter_sigma", 0.005),
+                           cfg.get("jitter_clip", 0.02)),
+            T.RandomDropColor(color_augment=cfg.get("color_augment", 0.0)),
+        ])
+    if name == "s3dis":
+        return datasets.S3DIS(
+            split=split, data_root=cfg["data_root"],
+            test_area=cfg.get("test_area", 5),
+            voxel_size=cfg.get("voxel_size", 0.04), voxel_max=voxel_max,
+            transform=tfm, shuffle_index=True,
+            loop=cfg.get("loop", 1) if split == "train" else 1)
+    if name == "scannetv2":
+        return datasets.Scannetv2(
+            split="train" if split == "train" else "val",
+            data_root=cfg["data_root"],
+            voxel_size=cfg.get("voxel_size", 0.02), voxel_max=voxel_max,
+            transform=tfm, shuffle_index=True,
+            loop=cfg.get("loop", 1) if split == "train" else 1)
+    if name == "dcf":
+        roots = cfg["data_root"]
+        if isinstance(roots, str):
+            roots = [roots]
+        return datasets.DCF(
+            split=split, data_root=roots,
+            voxel_size=cfg.get("voxel_size", 0.04),
+            sigma=cfg.get("noise_sigma", 0.02), voxel_max=voxel_max,
+            shuffle_index=True)
+    if name == "synthetic":
+        return datasets.SyntheticRooms(
+            num_scenes=int(cfg.get("synthetic_scenes", 32)),
+            points=int(cfg.get("synthetic_points", 40000)),
+            voxel_size=cfg.get("voxel_size", 0.04), voxel_max=voxel_max,
+            num_classes=int(cfg.get("classes", 13)), transform=tfm,
+            with_shift=bool(cfg.get("with_regressor", False)),
+            seed=0 if split == "train" else 10_000, split=split)
+    raise ValueError(name)
+
+
+class BatchLoader:
+    """Threaded prefetching batch iterator over a map-style dataset."""
+
+    def __init__(self, dataset, mcfg, cfg, n_devices, shuffle, seed=0):
+        self.dataset = dataset
+        self.mcfg = mcfg
+        self.cfg = cfg
+        self.n_devices = n_devices
+        self.shuffle = shuffle
+        self.seed = seed
+        spd = mcfg.num_scenes
+        self.scenes_per_batch = spd * n_devices
+        self.batches_per_epoch = max(
+            len(dataset) // self.scenes_per_batch, 1)
+
+    def _make_batch(self, scene_ids):
+        from stratified_transformer_tpu.data.collate import collate_scenes
+        from stratified_transformer_tpu.data.prepare import with_xyz_concat
+
+        mcfg = self.mcfg
+        per_dev = []
+        spd = mcfg.num_scenes
+        for d in range(self.n_devices):
+            ids = scene_ids[d * spd:(d + 1) * spd]
+            scenes = [self.dataset[i] for i in ids]
+            if mcfg.concat_xyz:
+                scenes = [with_xyz_concat(s) for s in scenes]
+            b = collate_scenes(
+                scenes, mcfg.n_pad, spd,
+                ignore_label=int(self.cfg.get("ignore_label", 255)))
+            d_batch = {"feats": b.feats, "xyz": b.xyz,
+                       "offsets": b.offsets, "labels": b.labels}
+            if b.target_shift is not None:
+                d_batch["target_shift"] = b.target_shift
+            per_dev.append(d_batch)
+        return per_dev
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def worker():
+            for bi in range(self.batches_per_epoch):
+                ids = order[bi * self.scenes_per_batch:
+                            (bi + 1) * self.scenes_per_batch]
+                q.put(self._make_batch(ids))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+def main():
+    args = get_parser()
+    from stratified_transformer_tpu.utils.config import (
+        load_cfg, merge_cfg_from_list)
+    cfg = load_cfg(args.config)
+    if args.opts:
+        cfg = merge_cfg_from_list(cfg, args.opts)
+
+    import jax
+
+    from stratified_transformer_tpu.models.stratified import Stratified
+    from stratified_transformer_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+    from stratified_transformer_tpu.parallel.dp import (
+        make_dp_train_step, shard_batch)
+    from stratified_transformer_tpu.parallel.mesh import make_mesh
+    from stratified_transformer_tpu.train import checkpoint as ckpt
+    from stratified_transformer_tpu.train import metrics as M
+    from stratified_transformer_tpu.train import schedulers
+    from stratified_transformer_tpu.train.state import create_train_state
+    from stratified_transformer_tpu.train.step import (
+        make_eval_step, make_train_step)
+    from stratified_transformer_tpu.utils.logger import get_logger
+
+    save_path = cfg.get("save_path", "runs/default")
+    logger = get_logger(save_path)
+    n_devices = int(cfg.get("n_devices", 0)) or len(jax.devices())
+    n_devices = min(n_devices, len(jax.devices()))
+    mcfg = build_model_config(cfg, n_devices)
+    logger.info(f"devices: {n_devices}; model config: {mcfg}")
+
+    model = Stratified(mcfg)
+    train_ds = build_dataset(cfg, "train", mcfg)
+    loader = BatchLoader(
+        train_ds, mcfg, cfg, n_devices, shuffle=True,
+        seed=int(cfg.get("manual_seed", 123)))
+    val_loader = None
+    if cfg.get("evaluate", False):
+        try:
+            val_ds = build_dataset(cfg, "val", mcfg)
+            val_loader = BatchLoader(
+                val_ds, mcfg, cfg, 1, shuffle=False, seed=0)
+        except (KeyError, ValueError, FileNotFoundError) as e:
+            logger.info(f"no val dataset ({e}); skipping evaluation")
+    iter_per_epoch = loader.batches_per_epoch
+    logger.info(f"dataset: {len(train_ds)} samples,"
+                f" {iter_per_epoch} iters/epoch")
+
+    schedule, _ = schedulers.from_config(cfg, iter_per_epoch)
+    example = loader._make_batch(list(range(loader.scenes_per_batch)))[0]
+    rng = jax.random.PRNGKey(int(cfg.get("manual_seed", 123)))
+    state = create_train_state(
+        model, rng, (example["feats"], example["xyz"], example["offsets"]),
+        schedule,
+        weight_decay=float(cfg.get("weight_decay", 0.01)),
+        transformer_lr_scale=float(cfg.get("transformer_lr_scale", 0.1)),
+        optimizer=str(cfg.get("optimizer", "AdamW")),
+        grad_clip=cfg.get("max_grad_norm"))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(f"#Model parameters: {n_params}")
+
+    start_epoch = int(cfg.get("start_epoch", 0))
+    if cfg.get("resume"):
+        state, start_epoch, _ = ckpt.restore(cfg["resume"], state)
+        logger.info(f"resumed from {cfg['resume']} at epoch {start_epoch}")
+
+    ignore = int(cfg.get("ignore_label", 255))
+    ncls = int(cfg.get("classes", 13))
+    offw = float(cfg.get("offset_weight", 1.0))
+    if n_devices > 1:
+        mesh = make_mesh(n_devices)
+        step_fn = make_dp_train_step(mesh, ignore, ncls, offw)
+    else:
+        mesh = None
+        step_fn = jax.jit(
+            make_train_step(ignore, ncls, offw), donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(ignore, ncls))
+
+    epochs = int(cfg.get("epochs", 100))
+    step_rng = jax.random.PRNGKey(7)
+    log_every = int(cfg.get("print_freq", 1))
+    metrics_path = os.path.join(save_path, "metrics.jsonl")
+    os.makedirs(save_path, exist_ok=True)
+
+    for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
+        inter_sum = np.zeros(ncls)
+        union_sum = np.zeros(ncls)
+        target_sum = np.zeros(ncls)
+        loss_meter = M.AverageMeter()
+        points_total = 0
+        for it, per_dev in enumerate(loader):
+            if mesh is not None:
+                batch = shard_batch(per_dev, mesh)
+            else:
+                batch = per_dev[0]
+            t0 = time.time()
+            state, stats = step_fn(state, batch, step_rng)
+            loss = float(stats["loss"]) / max(n_devices if mesh else 1, 1)
+            dt = time.time() - t0
+            loss_meter.update(loss)
+            inter_sum += np.asarray(stats["intersection"])
+            union_sum += np.asarray(stats["union"])
+            target_sum += np.asarray(stats["target"])
+            points_total += int(stats["points"])
+            if (it + 1) % log_every == 0:
+                pps = int(stats["points"]) / max(dt, 1e-9)
+                logger.info(
+                    f"Epoch [{epoch + 1}/{epochs}][{it + 1}/"
+                    f"{iter_per_epoch}] loss {loss:.4f} "
+                    f"({loss_meter.avg:.4f}) {pps:,.0f} pts/s")
+        m = M.iou_from_counts(inter_sum, union_sum, target_sum)
+        logger.info(
+            f"Train epoch [{epoch + 1}/{epochs}]: mIoU {m['miou']:.4f} "
+            f"mAcc {m['macc']:.4f} allAcc {m['all_acc']:.4f} "
+            f"({time.time() - t_epoch:.1f}s)")
+        record = {"epoch": epoch + 1, "loss": loss_meter.avg,
+                  **{k: m[k] for k in ("miou", "macc", "all_acc")}}
+
+        if val_loader is not None and (
+                (epoch + 1) % int(cfg.get("eval_freq", 1)) == 0):
+            vi = np.zeros(ncls)
+            vu = np.zeros(ncls)
+            vt = np.zeros(ncls)
+            vloss = M.AverageMeter()
+            for per_dev in val_loader:
+                _, _, stats = eval_fn(state, per_dev[0])
+                vloss.update(float(stats["loss"]))
+                vi += np.asarray(stats["intersection"])
+                vu += np.asarray(stats["union"])
+                vt += np.asarray(stats["target"])
+            vm = M.iou_from_counts(vi, vu, vt)
+            logger.info(
+                f"Val epoch [{epoch + 1}]: loss {vloss.avg:.4f} "
+                f"mIoU {vm['miou']:.4f} mAcc {vm['macc']:.4f} "
+                f"allAcc {vm['all_acc']:.4f}")
+            record.update({"val_loss": vloss.avg,
+                           "val_miou": vm["miou"]})
+
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if (epoch + 1) % int(cfg.get("save_freq", 1)) == 0:
+            ckpt.save(os.path.join(save_path, "ckpt"), state, epoch + 1)
+    logger.info("==>Training done!")
+
+
+if __name__ == "__main__":
+    main()
