@@ -126,7 +126,7 @@ def stratified_attention_fused(
     q, k, v, xyz, seg_start, seg_end, valid,
     sparse_idx=None, sparse_mask=None,
     table_q=None, table_k=None, table_v=None,
-    *, window_size, quant_size, scale, band, tile=128, w_chunk=128,
+    *, window_size, quant_size, scale, band, tile=128, w_chunk=64,
     interpret=False,
 ):
     """Drop-in fused (Pallas) variant of
