@@ -27,69 +27,90 @@ NEG_INF = jnp.float32(-1e30)
 
 def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,
                  table_q, table_k, table_v, *, window_size, quant_size,
-                 scale):
-    """Unnormalised (acc, m, denom) for the sparse keys (XLA)."""
+                 scale, chunk=1024):
+    """Unnormalised (acc, m, denom) for the sparse keys (XLA).
+
+    Chunked over query rows so the one-hot cRPE intermediates stay small
+    (unchunked they materialise O(N*S*L) floats in HBM).
+    """
     n, h, d = q.shape
     qf = jnp.asarray(q, jnp.float32) * scale
     kf = jnp.asarray(k, jnp.float32)
     vf = jnp.asarray(v, jnp.float32)
     xf = jnp.asarray(xyz, jnp.float32)
+    tqf = None if table_q is None else table_q.astype(jnp.float32)
+    tkf = None if table_k is None else table_k.astype(jnp.float32)
+    tvf = None if table_v is None else table_v.astype(jnp.float32)
+    nbins = tqf.shape[0] if tqf is not None else 0
 
-    sg = jnp.clip(sparse_idx, 0, n - 1)
-    ok = sparse_mask & (sparse_idx >= 0) & valid[:, None]
-    k_s = kf[sg]                                   # [N,S,h,d]
-    v_s = vf[sg]
-    logits = jnp.einsum(
-        "nhd,nshd->nhs", qf, k_s,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    assert n % chunk == 0 or chunk > n, (n, chunk)
+    chunk = min(chunk, n)
 
-    oh = None
-    if table_q is not None:
-        nbins = table_q.shape[0]
-        rel = xf[:, None, :] - xf[sg]
-        ridx = jnp_attn.relative_position_index(
-            rel, window_size, quant_size, nbins)    # [N,S,3]
-        bins = jnp.arange(nbins, dtype=jnp.int32)
-        oh = [(ridx[:, :, a, None] == bins).astype(jnp.float32)
-              for a in range(3)]                    # [N,S,L] x3
-        tqf = table_q.astype(jnp.float32)
-        tkf = table_k.astype(jnp.float32) if table_k is not None else None
-        for a in range(3):
-            qproj_a = jnp.einsum(
-                "nhd,lhd->nhl", qf, tqf[:, :, :, a],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            logits += jnp.einsum(
-                "nhl,nsl->nhs", qproj_a, oh[a],
-                precision=jax.lax.Precision.HIGHEST)
-            if tkf is not None:
-                kp = jnp.einsum(
-                    "nshd,lhd->nshl", k_s, tkf[:, :, :, a],
+    @jax.checkpoint
+    def row_chunk(c0):
+        qc = jax.lax.dynamic_slice_in_dim(qf, c0, chunk)
+        xc = jax.lax.dynamic_slice_in_dim(xf, c0, chunk)
+        vc = jax.lax.dynamic_slice_in_dim(valid, c0, chunk)
+        si = jax.lax.dynamic_slice_in_dim(sparse_idx, c0, chunk)
+        sm = jax.lax.dynamic_slice_in_dim(sparse_mask, c0, chunk)
+        sg = jnp.clip(si, 0, n - 1)
+        ok = sm & (si >= 0) & vc[:, None]
+        k_s = kf[sg]                                   # [C,S,h,d]
+        v_s = vf[sg]
+        logits = jnp.einsum(
+            "nhd,nshd->nhs", qc, k_s,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        oh = None
+        if tqf is not None:
+            rel = xc[:, None, :] - xf[sg]
+            ridx = jnp_attn.relative_position_index(
+                rel, window_size, quant_size, nbins)    # [C,S,3]
+            bins = jnp.arange(nbins, dtype=jnp.int32)
+            oh = [(ridx[:, :, a, None] == bins).astype(jnp.float32)
+                  for a in range(3)]                    # [C,S,L] x3
+            for a in range(3):
+                qproj_a = jnp.einsum(
+                    "nhd,lhd->nhl", qc, tqf[:, :, :, a],
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
                 logits += jnp.einsum(
-                    "nshl,nsl->nsh", kp, oh[a],
-                    precision=jax.lax.Precision.HIGHEST).transpose(0, 2, 1)
+                    "nhl,nsl->nhs", qproj_a, oh[a],
+                    precision=jax.lax.Precision.HIGHEST)
+                if tkf is not None:
+                    kp = jnp.einsum(
+                        "nshd,lhd->nshl", k_s, tkf[:, :, :, a],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    logits += jnp.einsum(
+                        "nshl,nsl->nsh", kp, oh[a],
+                        precision=jax.lax.Precision.HIGHEST
+                    ).transpose(0, 2, 1)
 
-    logits = jnp.where(ok[:, None, :], logits, NEG_INF)
-    m = jnp.max(logits, axis=-1)
-    p = jnp.where(ok[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
-    den = jnp.sum(p, axis=-1)
-    acc = jnp.einsum(
-        "nhs,nshd->nhd", p, v_s,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    if table_v is not None:
-        tvf = table_v.astype(jnp.float32)
-        for a in range(3):
-            mass = jnp.einsum(
-                "nhs,nsl->nhl", p, oh[a],
-                precision=jax.lax.Precision.HIGHEST)
-            acc += jnp.einsum(
-                "nhl,lhd->nhd", mass, tvf[:, :, :, a],
-                precision=jax.lax.Precision.HIGHEST)
-    return acc, m, den
+        logits = jnp.where(ok[:, None, :], logits, NEG_INF)
+        m = jnp.max(logits, axis=-1)
+        p = jnp.where(ok[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
+        den = jnp.sum(p, axis=-1)
+        acc = jnp.einsum(
+            "nhs,nshd->nhd", p, v_s,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if tvf is not None:
+            for a in range(3):
+                mass = jnp.einsum(
+                    "nhs,nsl->nhl", p, oh[a],
+                    precision=jax.lax.Precision.HIGHEST)
+                acc += jnp.einsum(
+                    "nhl,lhd->nhd", mass, tvf[:, :, :, a],
+                    precision=jax.lax.Precision.HIGHEST)
+        return acc, m, den
+
+    if chunk == n:
+        return row_chunk(jnp.int32(0))
+    starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
+    acc, m, den = jax.lax.map(row_chunk, starts)
+    return (acc.reshape(n, h, d), m.reshape(n, h), den.reshape(n, h))
 
 
 def _merge(parts):
