@@ -72,7 +72,7 @@ class WindowAttention(nn.Module):
                 table_q=tq, table_k=tk, table_v=tv,
                 window_size=self.window_size, quant_size=self.quant_size,
                 scale=scale, band=self.band, tile=self.tile,
-                w_chunk=self.w_chunk, interpret=self.interpret,
+                w_chunk=self.w_chunk, interpret=self.interpret, plan=plan,
             )
         else:
             out_sorted = attn_ops.stratified_attention(

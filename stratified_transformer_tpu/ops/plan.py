@@ -36,6 +36,19 @@ class AttentionPlan(NamedTuple):
       sparse_idx: ``[N, S]`` int32 sorted-space indices of sparse keys
         (-1 empty) or None.
       sparse_mask: ``[N, S]`` bool or None.
+
+      Table-banded sparse layout (all None when ``is_down`` is None):
+      table_sorted: ``[N, S]`` int32 — row ``r`` holds the sorted-space
+        indices of the ``r``-th large window's downsampled members
+        (-1 empty); rows are in ascending large-window-key order.
+      cells_sorted: ``[N, 3]`` int32 small-window cells per sorted position
+        (for the not-my-small-window exclusion).
+      lw_map: ``[N]`` int32 — small-sorted position of each large-sorted
+        position (gather small-ordered arrays into large order).
+      lw_unmap: ``[N]`` int32 — large-sorted position of each small-sorted
+        position (scatter results back).
+      lw_row: ``[N]`` int32 — table row of each large-sorted position
+        (-1 when its large window has no downsampled members).
     """
 
     order: jax.Array
@@ -46,6 +59,11 @@ class AttentionPlan(NamedTuple):
     xyz_sorted: jax.Array
     sparse_idx: Optional[jax.Array]
     sparse_mask: Optional[jax.Array]
+    table_sorted: Optional[jax.Array] = None
+    cells_sorted: Optional[jax.Array] = None
+    lw_map: Optional[jax.Array] = None
+    lw_unmap: Optional[jax.Array] = None
+    lw_row: Optional[jax.Array] = None
 
 
 def build_attention_plan(
@@ -113,6 +131,24 @@ def build_attention_plan(
         sparse_idx = cand_sorted_space[part.order]
         sparse_mask = cand_ok[part.order]
 
+        # --- table-banded layout (contiguous table rows per query run) ---
+        n = xyz.shape[0]
+        table_ok = table >= 0
+        table_sorted = jnp.where(
+            table_ok, part.inv_order[jnp.clip(table, 0, n - 1)], -1)
+        cells_sorted = cells_small[part.order]
+        # sort all points by large-window key: queries sharing a large
+        # window (hence a table row) become contiguous, and row ids are
+        # non-decreasing along this order.
+        lw_order = jnp.argsort(
+            jnp.where(valid, key_large, hashing.INVALID_KEY),
+            stable=True).astype(jnp.int32)
+        lw_inv = jnp.zeros((n,), jnp.int32).at[lw_order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        lw_map = part.inv_order[lw_order]
+        lw_unmap = lw_inv[part.order]
+        lw_row = row[lw_order]
+
     return AttentionPlan(
         order=part.order,
         inv_order=part.inv_order,
@@ -122,4 +158,9 @@ def build_attention_plan(
         xyz_sorted=xyz[part.order],
         sparse_idx=sparse_idx,
         sparse_mask=sparse_mask,
+        table_sorted=None if is_down is None else table_sorted,
+        cells_sorted=None if is_down is None else cells_sorted,
+        lw_map=None if is_down is None else lw_map,
+        lw_unmap=None if is_down is None else lw_unmap,
+        lw_row=None if is_down is None else lw_row,
     )

@@ -61,7 +61,7 @@ def test_fused_matches_jnp(rng, with_rpe):
         q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
         plan.valid_sorted, sparse_idx=plan.sparse_idx,
         sparse_mask=plan.sparse_mask, table_q=tq, table_k=tk, table_v=tv,
-        **kw, w_chunk=WCHUNK, interpret=True)
+        **kw, w_chunk=WCHUNK, interpret=True, plan=plan)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
@@ -87,7 +87,7 @@ def test_fused_gradients_match(rng):
             q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
             plan.valid_sorted, sparse_idx=plan.sparse_idx,
             sparse_mask=plan.sparse_mask, table_q=a, table_k=b,
-            table_v=c, **kw, w_chunk=WCHUNK, interpret=True)
+            table_v=c, **kw, w_chunk=WCHUNK, interpret=True, plan=plan)
         return jnp.sum(out * cot)
 
     g_r = jax.grad(loss_ref, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
