@@ -117,3 +117,69 @@ def test_blocks_lr_scale_applied():
     other_leaves = [v for p, v in leaves if "blocks" not in str(p)]
     assert block_leaves and all(v == 0.1 for v in block_leaves)
     assert other_leaves and all(v == 1.0 for v in other_leaves)
+
+
+def test_scannet_style_stem_variant():
+    """stem_transformer=False path: KPConvRes stem + TransitionDown before
+    stage 0 (reference scannetv2 config, 5-stage family)."""
+    cfg = StratifiedConfig(
+        num_classes=5, in_channels=6, channels=(8, 16, 16), depths=(1, 1, 1),
+        num_heads=(2, 4, 4), num_layers=3, n_pad=512, num_scenes=2,
+        band=32, tile=32, sparse_cap=16, sampler="grid",
+        stem_transformer=False, downsample_scale=4,
+    )
+    model = Stratified(cfg)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "droppath": rng},
+        batch["feats"], batch["xyz"], batch["offsets"], training=False)
+    logits, _ = model.apply(
+        variables, batch["feats"], batch["xyz"], batch["offsets"],
+        training=False)
+    assert logits.shape == (cfg.n_pad, cfg.num_classes)
+    assert np.isfinite(np.asarray(logits)).all()
+    # stem params present
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = {str(p) for p, _ in flat}
+    assert any("stem_1" in n for n in names)
+    assert any("stem_down" in n for n in names)
+
+
+def test_swin3d_variant_no_sparse_keys():
+    from stratified_transformer_tpu.models.swin3d import Swin3D
+    model = Swin3D(TINY)
+    assert model.cfg.use_stratified is False
+    batch = make_batch(TINY)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "droppath": rng},
+        batch["feats"], batch["xyz"], batch["offsets"], training=False)
+    logits, _ = model.apply(
+        variables, batch["feats"], batch["xyz"], batch["offsets"],
+        training=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fused_attn_impl_model_forward():
+    """Model with attn_impl='fused' (Pallas interpret on CPU) matches the
+    reference impl."""
+    import dataclasses
+    cfg_ref = StratifiedConfig(**{**TINY.__dict__, "drop_path_rate": 0.0})
+    cfg_fused = dataclasses.replace(
+        cfg_ref, attn_impl="fused", pallas_interpret=True, w_chunk=32)
+    batch = make_batch(cfg_ref)
+    rng = jax.random.PRNGKey(0)
+    model_ref = Stratified(cfg_ref)
+    model_fused = Stratified(cfg_fused)
+    variables = model_ref.init(
+        {"params": rng, "droppath": rng},
+        batch["feats"], batch["xyz"], batch["offsets"], training=False)
+    lr, _ = model_ref.apply(
+        variables, batch["feats"], batch["xyz"], batch["offsets"],
+        training=False)
+    lf, _ = model_fused.apply(
+        variables, batch["feats"], batch["xyz"], batch["offsets"],
+        training=False)
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(lr), rtol=2e-3, atol=2e-4)
