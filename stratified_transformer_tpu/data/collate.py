@@ -31,6 +31,33 @@ class PaddedBatch(NamedTuple):
     target_shift: Optional[np.ndarray] = None
 
 
+def mix3d_pairs(scenes, rng=None):
+    """Mix3D-style scene mixing (reference ``collate_fn_mix3d``,
+    ``util/data_util.py:17-58``): consecutive scene pairs are merged into
+    one mixed scene (features/labels concatenated; coordinates kept —
+    the reference recenters each constituent before mixing upstream).
+    Odd trailing scene passes through."""
+    out = []
+    i = 0
+    while i < len(scenes):
+        if i + 1 < len(scenes):
+            a, b = scenes[i], scenes[i + 1]
+            m = {
+                "xyz": np.concatenate([a["xyz"], b["xyz"]]),
+                "feats": np.concatenate([a["feats"], b["feats"]]),
+                "labels": np.concatenate([a["labels"], b["labels"]]),
+            }
+            if "target_shift" in a and "target_shift" in b:
+                m["target_shift"] = np.concatenate(
+                    [a["target_shift"], b["target_shift"]])
+            out.append(m)
+            i += 2
+        else:
+            out.append(scenes[i])
+            i += 1
+    return out
+
+
 def collate_scenes(
     scenes: Sequence[dict],
     n_pad: int,

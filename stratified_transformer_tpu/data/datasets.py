@@ -217,3 +217,44 @@ class SyntheticRooms:
             coord, feat, label, self.split, self.voxel_size, self.voxel_max,
             self.transform, shuffle_index=False, feat_scale=255.0,
             target_shift=shift, rng=rng)
+
+
+class PointData:
+    """Legacy h5 dataset (reference ``util/dataset.py`` capability):
+    fixed-size point clouds with per-point labels from .h5 shards."""
+
+    def __init__(self, split="train", data_root="data", num_point=2048):
+        import h5py  # noqa: F401  (validated lazily per file)
+        import os as _os
+
+        self.num_point = num_point
+        list_file = _os.path.join(
+            data_root, f"{split}_files.txt")
+        if _os.path.exists(list_file):
+            with open(list_file) as f:
+                self.files = [l.strip() for l in f if l.strip()]
+        else:
+            import glob as _glob
+            self.files = sorted(_glob.glob(
+                _os.path.join(data_root, f"*{split}*.h5")))
+        self._index = []
+        for fi, fn in enumerate(self.files):
+            import h5py
+            with h5py.File(fn, "r") as h:
+                self._index += [(fi, i) for i in range(len(h["data"]))]
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, idx):
+        import h5py
+
+        fi, row = self._index[idx % len(self._index)]
+        with h5py.File(self.files[fi], "r") as h:
+            data = np.asarray(h["data"][row][: self.num_point], np.float32)
+            label = np.asarray(h["label"][row], np.int32).reshape(-1)
+        return {"xyz": data[:, :3],
+                "feats": data[:, 3:] if data.shape[1] > 3 else
+                np.ones_like(data[:, :3]),
+                "labels": (label if len(label) > 1 else
+                           np.full(len(data), label[0], np.int32))}

@@ -36,6 +36,7 @@ class WindowAttention(nn.Module):
     impl: str = "reference"        # "reference" (jnp) | "fused" (Pallas)
     w_chunk: int = 128
     interpret: bool = False        # Pallas interpret mode (CPU testing)
+    dtype: str | None = None       # compute dtype for projections
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -47,7 +48,8 @@ class WindowAttention(nn.Module):
         lq = int((2 * self.window_size + 1e-4) // self.quant_size)
         nbins = 2 * lq
 
-        qkv = dense(3 * c, use_bias=self.qkv_bias, name="qkv")(feats)
+        qkv = dense(3 * c, use_bias=self.qkv_bias, name="qkv",
+                    dtype=self.dtype)(feats)
         qkv = qkv.reshape(n, 3, h, d)
         o = plan.order
         q = qkv[:, 0][o]
@@ -84,7 +86,7 @@ class WindowAttention(nn.Module):
                 scale=scale, band=self.band, tile=self.tile,
             )
         out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
-        return dense(c, name="proj")(out)
+        return dense(c, name="proj", dtype=self.dtype)(out)
 
 
 class Block(nn.Module):
@@ -105,6 +107,7 @@ class Block(nn.Module):
     impl: str = "reference"
     w_chunk: int = 128
     interpret: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -116,14 +119,16 @@ class Block(nn.Module):
             rel_query=self.rel_query, rel_key=self.rel_key,
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
             band=self.band, tile=self.tile, impl=self.impl,
-            w_chunk=self.w_chunk, interpret=self.interpret, name="attn",
+            w_chunk=self.w_chunk, interpret=self.interpret,
+            dtype=self.dtype, name="attn",
         )(x, plan, training=training)
         if training and self.drop_path_rate > 0:
             x = drop_path(
                 x, self.drop_path_rate, self.make_rng("droppath"), training)
         feats = shortcut + x
         y = Mlp(
-            hidden=int(self.dim * self.mlp_ratio), out=self.dim, name="mlp"
+            hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+            dtype=self.dtype, name="mlp"
         )(nn.LayerNorm(name="norm2")(feats), training=training)
         if training and self.drop_path_rate > 0:
             y = drop_path(

@@ -22,12 +22,14 @@ from stratified_transformer_tpu.ops import neighbors, sampling
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
-def dense(features, name=None, use_bias=True):
+def dense(features, name=None, use_bias=True, dtype=None):
     """Linear with the reference init: trunc_normal(0.02) weight, zero bias
-    (``model/stratified_transformer.py:489-502``)."""
+    (``model/stratified_transformer.py:489-502``). ``dtype`` sets the
+    compute dtype (params stay fp32) — the bf16 mixed-precision analogue of
+    the reference's AMP (``train.py:256-259``)."""
     return nn.Dense(
         features, use_bias=use_bias, kernel_init=trunc_init,
-        bias_init=nn.initializers.zeros, name=name,
+        bias_init=nn.initializers.zeros, name=name, dtype=dtype,
     )
 
 
@@ -86,14 +88,15 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, training: bool):
-        x = dense(self.hidden, name="fc1")(x)
+        x = dense(self.hidden, name="fc1", dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         if self.drop > 0 and training:
             x = nn.Dropout(self.drop, deterministic=False)(x)
-        x = dense(self.out, name="fc2")(x)
+        x = dense(self.out, name="fc2", dtype=self.dtype)(x)
         if self.drop > 0 and training:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         return x

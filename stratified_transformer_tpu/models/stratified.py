@@ -83,6 +83,7 @@ class StratifiedConfig:
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
     w_chunk: int = 128
     pallas_interpret: bool = False
+    compute_dtype: str | None = None          # e.g. "bfloat16" (AMP analogue)
 
     # -------- derived (reference train.py:110-113) --------
     @property
@@ -175,7 +176,7 @@ class BasicLayer(nn.Module):
                 rel_value=cfg.rel_value, drop_path_rate=dps[base + b],
                 mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
                 impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
-                interpret=cfg.pallas_interpret,
+                interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
                 name=f"blocks_{b}",
             )(feats, plans[b % 2], training=training)
         return feats

@@ -67,3 +67,18 @@ class AverageMeter:
     @property
     def avg(self):
         return self.sum / max(self.count, 1)
+
+
+def memory_use():
+    """Device memory usage in GB (reference ``util/common_util.py:170-177``
+    ``memory_use`` analogue via jax memory_stats)."""
+    import jax
+
+    out = {}
+    for dev in jax.local_devices():
+        stats = dev.memory_stats() or {}
+        out[str(dev)] = {
+            "bytes_in_use_gb": stats.get("bytes_in_use", 0) / 2 ** 30,
+            "peak_bytes_gb": stats.get("peak_bytes_in_use", 0) / 2 ** 30,
+        }
+    return out

@@ -67,6 +67,31 @@ def exponential(base_lr, step_size, gamma=0.9):
     return schedule
 
 
+def step_lr(base_lr, step_size, gamma=0.1):
+    """torch ``StepLR`` (``util/lr.py`` initialize_scheduler)."""
+
+    def schedule(step):
+        return base_lr * gamma ** (step // step_size)
+    return schedule
+
+
+def one_cycle(max_lr, total_steps, pct_start=0.3, div_factor=25.0,
+              final_div_factor=1e4):
+    """``OneCycleLR`` (cos anneal): warmup to ``max_lr`` then cosine decay
+    (``util/lr.py`` initialize_scheduler OneCycleLR branch)."""
+    initial = max_lr / div_factor
+    final = initial / final_div_factor
+    up = pct_start * total_steps
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = initial + (max_lr - initial) * jnp.minimum(step / up, 1.0)
+        t = jnp.clip((step - up) / jnp.maximum(total_steps - up, 1), 0, 1)
+        anneal = final + (max_lr - final) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step <= up, warm, anneal)
+    return schedule
+
+
 def from_config(cfg, iter_per_epoch):
     """Build the schedule exactly as the reference driver does
     (``train.py:218-246``). Returns (schedule_fn, update_granularity) where

@@ -64,3 +64,52 @@ def test_support_to_box():
     pts = np.array([[0, 1, 2], [3, 4, 5]], float)
     np.testing.assert_array_equal(
         instantiation.support_to_box(pts), [0, 1, 2, 3, 4, 5])
+
+
+def test_scene_prep_outliers_and_alignment(rng):
+    from stratified_transformer_tpu.eval import scene_prep
+    # dense slab rotated 30 degrees + far outliers
+    n = 2000
+    pts = np.stack([
+        rng.uniform(0, 4, n), rng.uniform(0, 1, n),
+        rng.uniform(0, 0.3, n)], 1)
+    ang = np.deg2rad(30)
+    rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    pts = pts @ rot.T
+    outliers = rng.uniform(50, 60, (20, 3))
+    allpts = np.concatenate([pts, outliers]).astype(np.float32)
+
+    aligned, _, keep = scene_prep.prepare_custom_scene(
+        allpts, eps=0.3, min_samples=5)
+    assert keep[:n].mean() > 0.99 and keep[n:].sum() == 0
+    # after alignment, the dominant direction is axis-aligned: the bbox
+    # area should be near the un-rotated slab's (4 x 1), not the rotated
+    # slab's AABB
+    ext = aligned.max(0) - aligned.min(0)
+    area = ext[0] * ext[1]
+    assert area < 4.0 * 1.0 * 1.25, (ext, area)
+
+
+def test_mix3d_pairs(rng):
+    from stratified_transformer_tpu.data.collate import mix3d_pairs
+    scenes = [{"xyz": rng.uniform(0, 1, (10, 3)).astype(np.float32),
+               "feats": np.ones((10, 3), np.float32),
+               "labels": np.full(10, i, np.int32)} for i in range(3)]
+    mixed = mix3d_pairs(scenes)
+    assert len(mixed) == 2
+    assert len(mixed[0]["xyz"]) == 20
+    assert set(np.unique(mixed[0]["labels"])) == {0, 1}
+    assert len(mixed[1]["xyz"]) == 10
+
+
+def test_extra_schedulers():
+    import jax.numpy as jnp
+    from stratified_transformer_tpu.train import schedulers as S
+    st = S.step_lr(1.0, 10, 0.5)
+    assert float(st(jnp.asarray(9))) == 1.0
+    assert float(st(jnp.asarray(10))) == 0.5
+    oc = S.one_cycle(1.0, 100, pct_start=0.3)
+    assert float(oc(jnp.asarray(0))) < 0.1
+    assert abs(float(oc(jnp.asarray(30))) - 1.0) < 1e-5
+    assert float(oc(jnp.asarray(100))) < 0.01

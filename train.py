@@ -75,6 +75,7 @@ def build_model_config(cfg, n_devices):
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
         w_chunk=int(cfg.get("w_chunk", 128)),
+        compute_dtype=cfg.get("compute_dtype"),
     )
 
 
