@@ -139,6 +139,10 @@ class TransitionDown(nn.Module):
         if self.sampler == "grid":
             idx, out_valid = sampling.grid_pool_sampling(
                 xyz, offsets, new_offsets, self.out_pad, self.grid_cell)
+        elif self.sampler == "blocked_fps":
+            idx, out_valid = sampling.blocked_fps(
+                xyz, offsets, new_offsets, self.out_pad,
+                max(self.grid_cell * 8.0, 1e-3))
         else:
             idx, out_valid = sampling.farthest_point_sampling(
                 xyz, offsets, new_offsets, self.out_pad,

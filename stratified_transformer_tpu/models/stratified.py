@@ -154,6 +154,10 @@ class BasicLayer(nn.Module):
                 cell = cfg.grid_sizes()[i] * float(cfg.downsample_scale) ** 0.5
                 d_idx, d_valid = sampling.grid_pool_sampling(
                     xyz, offsets, d_offsets, d_pad, cell)
+            elif cfg.sampler == "blocked_fps":
+                cell = cfg.window_sizes()[i] * 4.0
+                d_idx, d_valid = sampling.blocked_fps(
+                    xyz, offsets, d_offsets, d_pad, cell)
             else:
                 d_idx, d_valid = sampling.farthest_point_sampling(
                     xyz, offsets, d_offsets, d_pad)

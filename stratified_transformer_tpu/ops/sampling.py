@@ -205,3 +205,122 @@ def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size):
         slot_rank < produced[jnp.clip(slot_batch, 0, num_scenes - 1)]
     )
     return out, out_valid
+
+
+def blocked_fps(xyz, offsets, new_offsets, out_pad, cell_size, *,
+                block_cap=256, max_quota=None):
+    """Parallel approximate FPS: exact FPS *within* spatial blocks, vmapped.
+
+    The scene is cut into grid blocks of ``cell_size``; each block runs the
+    reference FPS recurrence (seed = first point, iteratively add farthest)
+    over its own points with a quota proportional to its population. All
+    blocks advance in lockstep, so the sequential depth is ``max_quota``
+    instead of the per-scene sample count — hundreds of times shallower
+    than exact FPS at room scale, with near-identical dispersion.
+
+    Same output contract as `farthest_point_sampling` (scene-contiguous
+    packing per ``new_offsets``).
+    """
+    n = xyz.shape[0]
+    num_scenes = offsets.shape[0]
+    batch = offsets_to_batch(offsets, n)
+    valid = offsets_to_valid(offsets, n)
+    starts = _scene_starts(offsets).astype(jnp.int32)
+    new_starts = _scene_starts(new_offsets).astype(jnp.int32)
+    new_counts = (new_offsets - new_starts).astype(jnp.int32)
+    scene_counts = (offsets - starts).astype(jnp.int32)
+    ratio = jnp.where(
+        scene_counts > 0,
+        new_counts.astype(jnp.float32) /
+        jnp.maximum(scene_counts, 1).astype(jnp.float32), 0.0)
+
+    xyz32 = jnp.asarray(xyz, jnp.float32)
+    mins = jnp.min(jnp.where(valid[:, None], xyz32, BIG), axis=0)
+    cells = jnp.floor((xyz32 - mins) / cell_size).astype(jnp.int32)
+    hi = jnp.max(jnp.where(valid[:, None], cells, 0), axis=0) + 1
+    key = jnp.clip(batch, 0, num_scenes)
+    for a in range(3):
+        key = key * hi[a] + jnp.where(valid, cells[:, a], 0)
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+
+    # padded per-block member lists (same machinery as sparse_key_table)
+    from stratified_transformer_tpu.ops import windows as _win
+
+    table, table_keys = _win.sparse_key_table(key, valid, block_cap)
+    used = table_keys != jnp.iinfo(jnp.int32).max          # [N] rows
+    member_count = jnp.sum(table >= 0, axis=1)             # [N]
+    blk_batch = jnp.where(
+        used,
+        batch[jnp.clip(table[:, 0], 0, n - 1)], num_scenes)
+    quota = jnp.ceil(
+        member_count.astype(jnp.float32) *
+        ratio[jnp.clip(blk_batch, 0, num_scenes - 1)]).astype(jnp.int32)
+    quota = jnp.where(used, jnp.minimum(quota, member_count), 0)
+    if max_quota is None:
+        max_quota = block_cap
+
+    # vmapped in-block FPS
+    tbl_cl = jnp.clip(table, 0, n - 1)
+    pts = xyz32[tbl_cl]                                    # [N, cap, 3]
+    member_ok = table >= 0
+
+    def block_fps(p, ok, q):
+        # p [cap,3]; ok [cap]; q scalar quota
+        cap = p.shape[0]
+        mind = jnp.where(ok, BIG, -BIG)
+        sel0 = jnp.int32(0)
+        chosen = jnp.zeros((cap,), bool).at[0].set(q > 0)
+
+        def body(state, j):
+            mind, last, chosen = state
+            dd = jnp.sum((p - p[last]) ** 2, -1)
+            mind = jnp.minimum(mind, jnp.where(ok, dd, -BIG))
+            mind = jnp.where(chosen, -BIG, mind)
+            nxt = jnp.argmax(mind).astype(jnp.int32)
+            take = j < q
+            chosen = chosen.at[nxt].set(take | chosen[nxt])
+            return (mind, jnp.where(take, nxt, last), chosen), None
+
+        (_, _, chosen), _ = jax.lax.scan(
+            body, (mind, sel0, chosen),
+            jnp.arange(1, max_quota, dtype=jnp.int32))
+        return chosen
+
+    chosen = jax.vmap(block_fps)(pts, member_ok, quota)    # [N, cap]
+    sel_flat = (chosen & member_ok).reshape(-1)
+    idx_flat = tbl_cl.reshape(-1)
+
+    # pack per scene (flat order), truncating to per-scene targets
+    sel_batch = jnp.where(
+        sel_flat, batch[idx_flat], num_scenes)
+    order = jnp.argsort(
+        jnp.where(sel_flat, sel_batch, num_scenes + 1), stable=True)
+    sb_sorted = sel_batch[order]
+    idx_sorted = idx_flat[order]
+    pos = jnp.arange(sel_flat.shape[0], dtype=jnp.int32)
+    scene_first = jax.ops.segment_min(
+        jnp.where(sb_sorted < num_scenes, pos, sel_flat.shape[0]),
+        jnp.clip(sb_sorted, 0, num_scenes - 1), num_segments=num_scenes)
+    rank = pos - scene_first[jnp.clip(sb_sorted, 0, num_scenes - 1)]
+    nc = new_counts[jnp.clip(sb_sorted, 0, num_scenes - 1)]
+    ok = (sb_sorted < num_scenes) & (rank < nc)
+    write = jnp.where(
+        ok, new_starts[jnp.clip(sb_sorted, 0, num_scenes - 1)] + rank,
+        out_pad)
+
+    slot = jnp.arange(out_pad, dtype=jnp.int32)
+    slot_batch = jnp.searchsorted(
+        new_offsets, slot, side="right").astype(jnp.int32)
+    out = jnp.clip(starts, 0, n - 1)[
+        jnp.clip(slot_batch, 0, num_scenes - 1)]
+    out = out.at[write].set(idx_sorted, mode="drop")
+
+    produced = jax.ops.segment_sum(
+        ok.astype(jnp.int32), jnp.clip(sb_sorted, 0, num_scenes - 1),
+        num_segments=num_scenes)
+    produced = jnp.minimum(produced, new_counts)
+    slot_rank = slot - _scene_starts(new_offsets)[
+        jnp.clip(slot_batch, 0, num_scenes - 1)]
+    out_valid = (slot_batch < num_scenes) & (
+        slot_rank < produced[jnp.clip(slot_batch, 0, num_scenes - 1)])
+    return out, out_valid

@@ -82,3 +82,45 @@ def test_floor_ratio_counts():
     np.testing.assert_array_equal(out, [5, 5, 1, 26])
     out8 = np.asarray(sampling.floor_ratio_counts(counts, 1.0 / 8.0))
     np.testing.assert_array_equal(out8, [3, 3, 1, 13])
+
+
+def test_blocked_fps_structure(rng):
+    from stratified_transformer_tpu.ops.sampling import blocked_fps
+    n1, n2 = 300, 200
+    n_pad = 512
+    xyz = rng.uniform(0, 4, (n_pad, 3)).astype(np.float32)
+    offsets = np.array([n1, n1 + n2], np.int32)
+    counts = offsets - np.array([0, n1])
+    new_counts = sampling.floor_ratio_counts(jnp.asarray(counts), 0.25)
+    new_offsets = np.asarray(sampling.counts_to_offsets(new_counts))
+
+    idx, valid = blocked_fps(
+        jnp.asarray(xyz), jnp.asarray(offsets), jnp.asarray(new_offsets),
+        out_pad=160, cell_size=1.0, block_cap=128, max_quota=64)
+    idx = np.asarray(idx)
+    valid = np.asarray(valid)
+    batch = np.searchsorted(offsets, np.arange(n_pad), side="right")
+
+    # samples in the right scene slots, no duplicates among valid
+    sel0 = idx[valid & (np.arange(160) < new_offsets[0])]
+    sel1 = idx[valid & (np.arange(160) >= new_offsets[0])]
+    assert (batch[sel0] == 0).all()
+    assert (batch[sel1] == 1).all()
+    assert len(set(sel0.tolist())) == len(sel0)
+    assert len(set(sel1.tolist())) == len(sel1)
+    # close to the per-scene targets
+    t0, t1 = int(new_counts[0]), int(new_counts[1])
+    assert len(sel0) >= 0.8 * t0 and len(sel0) <= t0
+    assert len(sel1) >= 0.8 * t1 and len(sel1) <= t1
+
+    # dispersion sanity: blocked FPS min-pairwise distance should beat
+    # random sampling of the same count
+    pts = xyz[sel0]
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, 1e9)
+    fps_min = d2.min()
+    rand_sel = rng.choice(n1, size=len(sel0), replace=False)
+    rpts = xyz[rand_sel]
+    rd2 = ((rpts[:, None] - rpts[None]) ** 2).sum(-1)
+    np.fill_diagonal(rd2, 1e9)
+    assert fps_min >= rd2.min() * 0.8
