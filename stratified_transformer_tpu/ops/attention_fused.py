@@ -259,11 +259,12 @@ def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
         table_q, table_k, table_v,
         window_size=window_size, quant_size=quant_size, scale=scale,
         band=band, tile=tile, w_chunk=w_chunk, interpret=interpret)]
-    if plan is not None and plan.table_sorted is not None:
-        parts.append(_sparse_half_banded(
-            q, k, v, xyz, valid, plan, table_q, table_k, table_v,
-            window_size=window_size, quant_size=quant_size, scale=scale))
-    elif sparse_idx is not None:
+    # NOTE: the table-banded variant (_sparse_half_banded) measured SLOWER
+    # than the chunked path on v5e (21.3 vs 15.5 ms at N=8192): the static
+    # row_cap padding multiplies the cRPE bias compute, which dominates the
+    # gathers it saves. Kept for configurations with very large windows;
+    # chunked is the default.
+    if sparse_idx is not None:
         parts.append(_sparse_half(
             q, k, v, xyz, valid, sparse_idx, sparse_mask,
             table_q, table_k, table_v, window_size=window_size,
