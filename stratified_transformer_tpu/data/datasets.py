@@ -191,10 +191,11 @@ class SyntheticRooms:
             rng.normal(0, 0.02, n_w), rng.uniform(0, ex, n_w),
             rng.uniform(0, ex / 2, n_w)], 1)
         parts += [floor, wall1, wall2]
+        part_labels = [0, 1, 1]          # floor / walls
         rest = n - n_fl - 2 * n_w
         # a few box-like objects
         nb = max(rest // 6, 1)
-        for _ in range(6):
+        for bi in range(6):
             c = rng.uniform(0.5, ex - 0.5, 3) * np.array([1, 1, 0.3])
             s = rng.uniform(0.2, 0.9, 3)
             face = rng.integers(0, 3, nb)
@@ -202,10 +203,21 @@ class SyntheticRooms:
             pts[np.arange(nb), face] = np.sign(
                 rng.uniform(-1, 1, nb)) * s[face] / 2
             parts.append(c + pts)
+            part_labels.append(2 + bi % max(self.num_classes - 2, 1))
         coord = np.concatenate(parts)[:n].astype(np.float32)
-        feat = rng.uniform(0, 255, (len(coord), 3)).astype(np.float32)
-        label = rng.integers(
-            0, self.num_classes, len(coord)).astype(np.int32)
+        # geometry-correlated labels (floor/wall/object classes) with color
+        # cues per class — the segmentation task is actually learnable,
+        # so smoke-training metrics are meaningful
+        label = np.concatenate([
+            np.full(len(p_), l_, np.int32)
+            for p_, l_ in zip(parts, part_labels)])[:n]
+        base_colors = np.stack([
+            (np.sin(np.arange(self.num_classes) * 2.1 + c0) * 90 + 130)
+            for c0 in (0.0, 2.0, 4.0)], 1)      # [C,3]
+        feat = base_colors[label % self.num_classes]
+        feat = np.clip(
+            feat + rng.normal(0, 25, feat.shape), 0, 255).astype(np.float32)
+        label = (label % self.num_classes).astype(np.int32)
         shift = (rng.normal(0, 0.1, (len(coord), 3)).astype(np.float32)
                  if self.with_shift else None)
         return coord, feat, label, shift

@@ -37,6 +37,7 @@ class WindowAttention(nn.Module):
     w_chunk: int = 128
     interpret: bool = False        # Pallas interpret mode (CPU testing)
     dtype: str | None = None       # compute dtype for projections
+    rpe_precision: str = "highest"
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -84,6 +85,7 @@ class WindowAttention(nn.Module):
                 table_q=tq, table_k=tk, table_v=tv,
                 window_size=self.window_size, quant_size=self.quant_size,
                 scale=scale, band=self.band, tile=self.tile,
+                rpe_precision=self.rpe_precision,
             )
         out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
         return dense(c, name="proj", dtype=self.dtype)(out)
@@ -108,6 +110,7 @@ class Block(nn.Module):
     w_chunk: int = 128
     interpret: bool = False
     dtype: str | None = None
+    rpe_precision: str = "highest"
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -120,7 +123,7 @@ class Block(nn.Module):
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
             band=self.band, tile=self.tile, impl=self.impl,
             w_chunk=self.w_chunk, interpret=self.interpret,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, rpe_precision=self.rpe_precision, name="attn",
         )(x, plan, training=training)
         if training and self.drop_path_rate > 0:
             x = drop_path(

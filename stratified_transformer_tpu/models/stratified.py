@@ -84,6 +84,7 @@ class StratifiedConfig:
     w_chunk: int = 128
     pallas_interpret: bool = False
     compute_dtype: str | None = None          # e.g. "bfloat16" (AMP analogue)
+    rpe_precision: str = "highest"            # "default" = bf16 cRPE matmuls
 
     # -------- derived (reference train.py:110-113) --------
     @property
@@ -181,6 +182,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
                 impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
+                rpe_precision=cfg.rpe_precision,
                 name=f"blocks_{b}",
             )(feats, plans[b % 2], training=training)
         return feats

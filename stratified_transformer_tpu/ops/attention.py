@@ -156,6 +156,7 @@ def stratified_attention(
     band,
     tile=128,
     tile_batch=16,
+    rpe_precision="highest",
 ):
     """Fused banded + sparse window attention (production jnp path).
 
@@ -178,6 +179,10 @@ def stratified_attention(
       tile: static query tile (multiple of 8; 128 aligns with the MXU).
       tile_batch: tiles processed per ``lax.map`` step (chunked vmap) —
         larger = better MXU batching, more transient memory.
+      rpe_precision: "highest" (fp32, reference-exact) or "default"
+        (bf16 MXU passes) for the one-hot cRPE contractions. One-hot
+        entries are exact in bf16; only the table projections round
+        (~0.4% relative on the bias term).
 
     Returns:
       ``[N, h, d]`` float32.
@@ -215,6 +220,8 @@ def stratified_attention(
 
     use_sparse = sparse_idx is not None
     s_cap = 0 if not use_sparse else sparse_idx.shape[1]
+    rpe_prec = (jax.lax.Precision.HIGHEST if rpe_precision == "highest"
+                else jax.lax.Precision.DEFAULT)
 
     @jax.checkpoint
     def tile_body(t_idx):
@@ -258,7 +265,7 @@ def stratified_attention(
                     logits_b += jnp.einsum(
                         "thl,twl->thw", qproj_a, oh,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=rpe_prec)
                 if tkf is not None:
                     kproj_a = jnp.einsum(
                         "whd,lhd->whl", k_b, tkf[:, :, :, a],
@@ -267,7 +274,7 @@ def stratified_attention(
                     logits_b += jnp.einsum(
                         "twl,whl->thw", oh, kproj_a,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=rpe_prec)
 
         logits_b = jnp.where(mask_b[:, None, :], logits_b, NEG_INF)
 
@@ -301,7 +308,7 @@ def stratified_attention(
                         logits_s += jnp.einsum(
                             "thl,tsl->ths", qproj_a, oh_s[a],
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=rpe_prec)
                     if tkf is not None:
                         # bias_k[t,s] = sum_l oh[t,s,l] * (k_s[t,s] . Tk[l])
                         kp = jnp.einsum(
@@ -310,7 +317,7 @@ def stratified_attention(
                             precision=jax.lax.Precision.HIGHEST)
                         logits_s += jnp.einsum(
                             "tshl,tsl->ths", kp, oh_s[a],
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=rpe_prec)
             logits_s = jnp.where(sm_t[:, None, :], logits_s, NEG_INF)
             mx = jnp.maximum(
                 jnp.max(logits_b, axis=-1), jnp.max(logits_s, axis=-1)
@@ -332,7 +339,7 @@ def stratified_attention(
                 oh = jax.nn.one_hot(
                     ridx_b[:, :, a], num_bins, dtype=jnp.float32)  # [T,W,L]
                 mass = jnp.einsum("thw,twl->thl", p_b, oh,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=rpe_prec)
                 out += jnp.einsum("thl,lhd->thd", mass, tvf[:, :, :, a],
                                   precision=jax.lax.Precision.HIGHEST)
 
@@ -349,7 +356,7 @@ def stratified_attention(
                 for a in range(3):
                     mass_s = jnp.einsum(
                         "ths,tsl->thl", p_s, oh_s[a],
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=rpe_prec)
                     out += jnp.einsum(
                         "thl,lhd->thd", mass_s, tvf[:, :, :, a],
                         precision=jax.lax.Precision.HIGHEST)

@@ -76,6 +76,7 @@ def build_model_config(cfg, n_devices):
         attn_impl=str(cfg.get("attn_impl", "reference")),
         w_chunk=int(cfg.get("w_chunk", 128)),
         compute_dtype=cfg.get("compute_dtype"),
+        rpe_precision=str(cfg.get("rpe_precision", "highest")),
     )
 
 
