@@ -38,6 +38,7 @@ class WindowAttention(nn.Module):
     interpret: bool = False        # Pallas interpret mode (CPU testing)
     dtype: str | None = None       # compute dtype for projections
     rpe_precision: str = "highest"
+    s_band: int = 256              # sparse-band aux window per query tile
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -71,11 +72,12 @@ class WindowAttention(nn.Module):
             out_sorted = stratified_attention_fused(
                 q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
                 plan.valid_sorted,
-                sparse_idx=plan.sparse_idx, sparse_mask=plan.sparse_mask,
+                sparse_band=plan.sparse_band,
                 table_q=tq, table_k=tk, table_v=tv,
                 window_size=self.window_size, quant_size=self.quant_size,
                 scale=scale, band=self.band, tile=self.tile,
-                w_chunk=self.w_chunk, interpret=self.interpret, plan=plan,
+                w_chunk=self.w_chunk, interpret=self.interpret,
+                s_band=self.s_band,
             )
         else:
             out_sorted = attn_ops.stratified_attention(
@@ -86,6 +88,7 @@ class WindowAttention(nn.Module):
                 window_size=self.window_size, quant_size=self.quant_size,
                 scale=scale, band=self.band, tile=self.tile,
                 rpe_precision=self.rpe_precision,
+                sparse_band=plan.sparse_band, s_band=self.s_band,
             )
         out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
         return dense(c, name="proj", dtype=self.dtype)(out)
@@ -111,6 +114,7 @@ class Block(nn.Module):
     interpret: bool = False
     dtype: str | None = None
     rpe_precision: str = "highest"
+    s_band: int = 256
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -123,7 +127,8 @@ class Block(nn.Module):
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
             band=self.band, tile=self.tile, impl=self.impl,
             w_chunk=self.w_chunk, interpret=self.interpret,
-            dtype=self.dtype, rpe_precision=self.rpe_precision, name="attn",
+            dtype=self.dtype, rpe_precision=self.rpe_precision,
+            s_band=self.s_band, name="attn",
         )(x, plan, training=training)
         if training and self.drop_path_rate > 0:
             x = drop_path(

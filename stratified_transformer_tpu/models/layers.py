@@ -128,6 +128,9 @@ class TransitionDown(nn.Module):
     grid_cell: float = 0.0        # cell size for the grid sampler
     out_pad: int = 0              # static output capacity
     fps_max_steps: Optional[int] = None
+    knn_method: str = "brute"     # "brute" | "grid" (cell-list fast path)
+    knn_cell: float = 0.0         # cell-list cell size (grid method)
+    knn_cap: int = 32             # cell-list capacity per cell
 
     @nn.compact
     def __call__(self, feats, xyz, offsets):
@@ -156,9 +159,15 @@ class TransitionDown(nn.Module):
 
         projected = dense(self.out_channels, use_bias=False, name="linear")(
             nn.LayerNorm(name="norm")(feats))
-        nidx, _, nmask = neighbors.knn(
-            n_xyz, out_batch, xyz, batch, valid, self.k,
-            query_valid=out_valid)
+        if self.knn_method == "grid":
+            nidx, _, nmask = neighbors.grid_knn(
+                n_xyz, out_batch, xyz, batch, valid, self.k,
+                cell=self.knn_cell, cap=self.knn_cap,
+                query_valid=out_valid)
+        else:
+            nidx, _, nmask = neighbors.knn(
+                n_xyz, out_batch, xyz, batch, valid, self.k,
+                query_valid=out_valid)
         gathered = neighbors.gather_group(
             projected, nidx, nmask, fill=-jnp.inf)
         pooled = jnp.max(gathered, axis=1)
@@ -170,6 +179,9 @@ class Upsample(nn.Module):
     """``linear1(skip) + 3NN-interp(linear2(feats))`` (reference :329-342)."""
 
     out_channels: int
+    knn_method: str = "brute"     # "brute" | "grid" (cell-list fast path)
+    knn_cell: float = 0.0
+    knn_cap: int = 32
 
     @nn.compact
     def __call__(
@@ -187,6 +199,7 @@ class Upsample(nn.Module):
             sampling.offsets_to_valid(offsets, n_coarse),
             lifted,
             query_valid=sampling.offsets_to_valid(skip_offsets, n_fine),
+            method=self.knn_method, cell=self.knn_cell, cap=self.knn_cap,
         )
         out = dense(self.out_channels, name="linear1")(
             nn.LayerNorm(name="norm1")(skip_feats)) + interp

@@ -79,9 +79,12 @@ class StratifiedConfig:
     use_stratified: bool = True               # False => plain Swin3D windows
     sampler: str = "grid"                     # "fps" | "grid"
     knn_chunk: int = 1024
+    neighbor_method: str = "grid"             # "grid" cell-list | "brute"
+    neighbor_cap: int = 32                    # cell-list per-cell capacity
     bn_axis_name: str | None = None           # SyncBN psum axis (DP mesh)
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
     w_chunk: int = 128
+    s_band: int = 256                         # sparse-band width per tile
     pallas_interpret: bool = False
     compute_dtype: str | None = None          # e.g. "bfloat16" (AMP analogue)
     rpe_precision: str = "highest"            # "default" = bf16 cRPE matmuls
@@ -164,10 +167,12 @@ class BasicLayer(nn.Module):
                     xyz, offsets, d_offsets, d_pad)
             is_down = jnp.zeros((n,), bool).at[d_idx].set(d_valid, mode="drop")
 
+        aux_pad = ((d_pad + 127) // 128) * 128 if cfg.use_stratified else None
         plans = [
             build_attention_plan(
                 xyz, batch, valid, ws, shifted=bool(parity),
-                is_down=is_down, sparse_cap=cfg.sparse_cap)
+                is_down=is_down, sparse_cap=cfg.sparse_cap,
+                aux_pad=aux_pad)
             for parity in (0, 1)
         ]
 
@@ -182,7 +187,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
                 impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
-                rpe_precision=cfg.rpe_precision,
+                rpe_precision=cfg.rpe_precision, s_band=cfg.s_band,
                 name=f"blocks_{b}",
             )(feats, plans[b % 2], training=training)
         return feats
@@ -212,7 +217,8 @@ class Stratified(nn.Module):
         radius = 2.5 * cfg.grid_size * cfg.sigma
         nidx, nmask = neighbors.radius_neighbors(
             xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
-            chunk=cfg.knn_chunk)
+            chunk=cfg.knn_chunk, method=cfg.neighbor_method,
+            cap=cfg.neighbor_cap)
         feats = KPConvSimpleBlock(
             cfg.channels[0], cfg.grid_size * cfg.sigma,
             bn_axis_name=cfg.bn_axis_name, name="stem_0",
@@ -223,7 +229,7 @@ class Stratified(nn.Module):
                 bn_axis_name=cfg.bn_axis_name, name="stem_1",
             )(feats, xyz, nidx, nmask, valid, training=training)
 
-        feats_stack, xyz_stack, off_stack = [], [], []
+        feats_stack, xyz_stack, off_stack, grid_stack = [], [], [], []
         caps = cfg.stage_caps()
         cap_i = 0
 
@@ -231,6 +237,7 @@ class Stratified(nn.Module):
             feats_stack.append(feats)
             xyz_stack.append(xyz)
             off_stack.append(offsets)
+            grid_stack.append(cfg.grid_sizes()[0])
             out_pad = _round_up(
                 int(caps[0] * cfg.ratio) + cfg.num_scenes, cfg.tile)
             feats, xyz, offsets, _ = TransitionDown(
@@ -238,6 +245,9 @@ class Stratified(nn.Module):
                 sampler=cfg.sampler,
                 grid_cell=cfg.grid_sizes()[0] * 2.0,
                 out_pad=out_pad, name="stem_down",
+                knn_method=cfg.neighbor_method,
+                knn_cell=cfg.grid_sizes()[0] * 3.0,
+                knn_cap=cfg.neighbor_cap,
             )(feats, xyz, offsets)
             cap_i = 1
 
@@ -247,6 +257,7 @@ class Stratified(nn.Module):
             feats_stack.append(feats)
             xyz_stack.append(xyz)
             off_stack.append(offsets)
+            grid_stack.append(cfg.grid_sizes()[i])
             if i < cfg.num_layers - 1:
                 out_pad = _round_up(
                     int(xyz.shape[0] * cfg.ratio) + cfg.num_scenes, cfg.tile)
@@ -255,15 +266,26 @@ class Stratified(nn.Module):
                     sampler=cfg.sampler,
                     grid_cell=cfg.grid_sizes()[i] * 2.0,
                     out_pad=out_pad, name=f"down_{i}",
+                    knn_method=cfg.neighbor_method,
+                    knn_cell=cfg.grid_sizes()[i] * 3.0,
+                    knn_cap=cfg.neighbor_cap,
                 )(feats, xyz, offsets)
 
         feats = feats_stack.pop()
         xyz = xyz_stack.pop()
         offsets = off_stack.pop()
+        grid_stack.pop()
         up_idx = 0
         while feats_stack:
+            # Coarse-level point spacing is ~2x the fine level's grid
+            # (TransitionDown pools at grid_cell = 2 * stage grid); cell
+            # 6x the fine grid covers the 3-NN radius with wide margin.
+            fine_grid = grid_stack.pop()
             feats, xyz, offsets = Upsample(
                 feats_stack[-1].shape[-1], name=f"up_{up_idx}",
+                knn_method=cfg.neighbor_method,
+                knn_cell=fine_grid * 6.0,
+                knn_cap=cfg.neighbor_cap,
             )(feats, xyz, offsets,
               feats_stack.pop(), xyz_stack.pop(), off_stack.pop())
             up_idx += 1

@@ -28,8 +28,11 @@ from stratified_transformer_tpu.ops.plan import (  # noqa: F401
     build_attention_plan,
 )
 from stratified_transformer_tpu.ops.neighbors import (  # noqa: F401
+    aggregation,
+    grid_knn,
     knn,
     radius_neighbors,
+    subtraction,
     three_nn_interpolate,
 )
 from stratified_transformer_tpu.ops.attention import (  # noqa: F401

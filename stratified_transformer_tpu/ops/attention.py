@@ -136,6 +136,176 @@ def pair_attention_reference(
     return out / denom[:, :, None]
 
 
+def merge_triples(parts):
+    """Compose online-softmax triples ``[(acc, m, den), ...]`` into the
+    normalised attention output ``acc_total / den_total``."""
+    m = functools.reduce(jnp.maximum, [p[1] for p in parts])
+    m = jnp.maximum(m, NEG_INF)
+    acc = 0.0
+    den = 0.0
+    for a, mi, di in parts:
+        s = jnp.exp(mi - m)
+        acc = acc + a * s[:, :, None]
+        den = den + di * s
+    den = jnp.maximum(den, 1e-20)
+    return acc / den[:, :, None]
+
+
+def sparse_band_triple(
+    q,
+    k,
+    v,
+    xyz_sorted,
+    sb,
+    table_q=None,
+    table_k=None,
+    table_v=None,
+    *,
+    window_size,
+    quant_size,
+    scale,
+    s_band=256,
+    tile=128,
+    tile_batch=16,
+    rpe_precision="highest",
+):
+    """Stratified far-key attention over the band-structured aux layout.
+
+    Args:
+      q/k/v: ``[N, h, d]`` in *small*-window-sorted order.
+      xyz_sorted: ``[N, 3]`` small-sorted coordinates.
+      sb: `ops.plan.SparseBandLayout`.
+      s_band: static aux window width per query tile; a tile's key
+        segments span ``~tile/downsample + #windows`` aux slots, so 256
+        covers a 128-query tile with wide margin (overflow keys are
+        dropped — capacity capping, reference precedent
+        ``util/voxelize.py:38-42``).
+
+    Returns:
+      Unnormalised online-softmax triple ``(acc [N,h,d], m [N,h],
+      den [N,h])`` in small-sorted order.
+    """
+    n, h, d = q.shape
+    assert n % tile == 0, (n, tile)
+    nt = n // tile
+    a_sz = sb.sb_src.shape[0]
+    ws_band = min(s_band, a_sz)
+
+    qf = jnp.asarray(q, jnp.float32) * scale
+    kf = jnp.asarray(k, jnp.float32)
+    vf = jnp.asarray(v, jnp.float32)
+
+    # queries to lw order ([N]-index row gathers — cheap)
+    q_lw = qf[sb.lw_map]
+    x_lw = jnp.asarray(sb.xyz_lw, jnp.float32)
+    val_lw = sb.valid_lw
+    skey_lw = sb.q_skey_lw
+
+    # aux key/value arrays (one [A]-index gather per block)
+    src = jnp.clip(sb.sb_src, 0, n - 1)
+    k_aux = jnp.where(sb.sb_valid[:, None, None], kf[src], 0.0)
+    v_aux = jnp.where(sb.sb_valid[:, None, None], vf[src], 0.0)
+    x_aux = jnp.asarray(sb.sb_xyz, jnp.float32)
+
+    use_rpe = table_q is not None or table_k is not None or table_v is not None
+    num_bins = 0
+    if use_rpe:
+        t = table_q if table_q is not None else (
+            table_k if table_k is not None else table_v)
+        num_bins = t.shape[0]
+    tqf = None if table_q is None else table_q.astype(jnp.float32)
+    tkf = None if table_k is None else table_k.astype(jnp.float32)
+    tvf = None if table_v is None else table_v.astype(jnp.float32)
+    rpe_prec = (jax.lax.Precision.HIGHEST if rpe_precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+
+    @jax.checkpoint
+    def tile_body(t_idx):
+        t0 = t_idx * tile
+        q_t = jax.lax.dynamic_slice_in_dim(q_lw, t0, tile)        # [T,h,d]
+        x_t = jax.lax.dynamic_slice_in_dim(x_lw, t0, tile)
+        val_t = jax.lax.dynamic_slice_in_dim(val_lw, t0, tile)
+        sk_t = jax.lax.dynamic_slice_in_dim(skey_lw, t0, tile)
+        ks_t = jax.lax.dynamic_slice_in_dim(sb.sb_start, t0, tile)
+        ke_t = jax.lax.dynamic_slice_in_dim(sb.sb_end, t0, tile)
+
+        # key segments advance monotonically in lw order: one contiguous
+        # aux window covers the whole tile
+        base = jnp.minimum(ks_t[0], a_sz - ws_band)
+        k_b = jax.lax.dynamic_slice_in_dim(k_aux, base, ws_band)  # [S,h,d]
+        v_b = jax.lax.dynamic_slice_in_dim(v_aux, base, ws_band)
+        x_b = jax.lax.dynamic_slice_in_dim(x_aux, base, ws_band)
+        sk_b = jax.lax.dynamic_slice_in_dim(sb.sb_skey, base, ws_band)
+        pos_b = base + jnp.arange(ws_band, dtype=jnp.int32)       # [S]
+
+        in_seg = (pos_b[None, :] >= ks_t[:, None]) & (
+            pos_b[None, :] < ke_t[:, None])
+        # exclude keys in the query's own small window (mask_mat_prev)
+        not_same = sk_b[None, :] != sk_t[:, None]
+        mask = in_seg & not_same & val_t[:, None]                 # [T,S]
+
+        logits = jnp.einsum(
+            "thd,whd->thw", q_t, k_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        ridx = None
+        if use_rpe:
+            rel = x_t[:, None, :] - x_b[None, :, :]               # [T,S,3]
+            ridx = relative_position_index(
+                rel, window_size, quant_size, num_bins)
+            bins = jnp.arange(num_bins, dtype=jnp.int32)
+            for a in range(3):
+                oh = (ridx[:, :, a, None] == bins).astype(jnp.float32)
+                if tqf is not None:
+                    qproj_a = jnp.einsum(
+                        "thd,lhd->thl", q_t, tqf[:, :, :, a],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    logits += jnp.einsum(
+                        "thl,twl->thw", qproj_a, oh,
+                        preferred_element_type=jnp.float32,
+                        precision=rpe_prec)
+                if tkf is not None:
+                    kproj_a = jnp.einsum(
+                        "whd,lhd->whl", k_b, tkf[:, :, :, a],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    logits += jnp.einsum(
+                        "twl,whl->thw", oh, kproj_a,
+                        preferred_element_type=jnp.float32,
+                        precision=rpe_prec)
+
+        logits = jnp.where(mask[:, None, :], logits, NEG_INF)
+        m = jnp.max(logits, axis=-1)
+        m = jnp.maximum(m, NEG_INF)
+        p = jnp.where(mask[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
+        den = jnp.sum(p, axis=-1)
+        acc = jnp.einsum(
+            "thw,whd->thd", p, v_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if tvf is not None:
+            for a in range(3):
+                oh = jax.nn.one_hot(
+                    ridx[:, :, a], num_bins, dtype=jnp.float32)
+                mass = jnp.einsum("thw,twl->thl", p, oh,
+                                  precision=rpe_prec)
+                acc += jnp.einsum("thl,lhd->thd", mass, tvf[:, :, :, a],
+                                  precision=jax.lax.Precision.HIGHEST)
+        return acc, m, den
+
+    acc, m, den = jax.lax.map(
+        tile_body, jnp.arange(nt, dtype=jnp.int32),
+        batch_size=min(tile_batch, nt) if tile_batch else None)
+    acc = acc.reshape(n, h, d)
+    m = m.reshape(n, h)
+    den = den.reshape(n, h)
+    # back to small-sorted order
+    u = sb.lw_unmap
+    return acc[u], m[u], den[u]
+
+
 def stratified_attention(
     q,
     k,
@@ -157,6 +327,8 @@ def stratified_attention(
     tile=128,
     tile_batch=16,
     rpe_precision="highest",
+    sparse_band=None,
+    s_band=256,
 ):
     """Fused banded + sparse window attention (production jnp path).
 
@@ -223,6 +395,23 @@ def stratified_attention(
     rpe_prec = (jax.lax.Precision.HIGHEST if rpe_precision == "highest"
                 else jax.lax.Precision.DEFAULT)
 
+    # Dense (band) pairs live in the same small window, so per-axis
+    # |rel| < window  =>  ridx in (qgl/2, 3*qgl/2) where qgl = num_bins/2
+    # (bins cover +-2*window for the sparse large-window pairs). The band
+    # half therefore only needs the middle ~qgl+2 table rows — out-of-range
+    # pairs are exactly the masked ones, so clipping to the slice is exact.
+    tqb = tkb = tvb = None
+    b0 = 0
+    nb_band = num_bins
+    if use_rpe:
+        qgl = num_bins // 2
+        b0 = max(qgl // 2 - 1, 0)
+        b1 = min(num_bins, (3 * qgl + 1) // 2 + 2)
+        nb_band = b1 - b0
+        tqb = None if tqf is None else tqf[b0:b1]
+        tkb = None if tkf is None else tkf[b0:b1]
+        tvb = None if tvf is None else tvf[b0:b1]
+
     @jax.checkpoint
     def tile_body(t_idx):
         t0 = t_idx * tile
@@ -253,22 +442,24 @@ def stratified_attention(
             rel_b = x_t[:, None, :] - x_b[None, :, :]             # [T,W,3]
             ridx_b = relative_position_index(
                 rel_b, window_size, quant_size, num_bins)
-            bins = jnp.arange(num_bins, dtype=jnp.int32)
+            # shift into the band slice (exact for in-window pairs)
+            ridx_b = jnp.clip(ridx_b - b0, 0, nb_band - 1)
+            bins = jnp.arange(nb_band, dtype=jnp.int32)
             for a in range(3):
                 oh = (ridx_b[:, :, a, None] == bins).astype(
-                    jnp.float32)                                  # [T,W,L]
-                if tqf is not None:
+                    jnp.float32)                                  # [T,W,Lb]
+                if tqb is not None:
                     qproj_a = jnp.einsum(
-                        "thd,lhd->thl", q_t, tqf[:, :, :, a],
+                        "thd,lhd->thl", q_t, tqb[:, :, :, a],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits_b += jnp.einsum(
                         "thl,twl->thw", qproj_a, oh,
                         preferred_element_type=jnp.float32,
                         precision=rpe_prec)
-                if tkf is not None:
+                if tkb is not None:
                     kproj_a = jnp.einsum(
-                        "whd,lhd->whl", k_b, tkf[:, :, :, a],
+                        "whd,lhd->whl", k_b, tkb[:, :, :, a],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits_b += jnp.einsum(
@@ -333,14 +524,14 @@ def stratified_attention(
         out = jnp.einsum(
             "thw,whd->thd", p_b, v_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
-        if tvf is not None:
+        if tvb is not None:
             # Probability-mass-per-bin trick: out += sum_l mass[t,h,l,a]*Tv[l]
             for a in range(3):
                 oh = jax.nn.one_hot(
-                    ridx_b[:, :, a], num_bins, dtype=jnp.float32)  # [T,W,L]
+                    ridx_b[:, :, a], nb_band, dtype=jnp.float32)  # [T,W,Lb]
                 mass = jnp.einsum("thw,twl->thl", p_b, oh,
                                   precision=rpe_prec)
-                out += jnp.einsum("thl,lhd->thd", mass, tvf[:, :, :, a],
+                out += jnp.einsum("thl,lhd->thd", mass, tvb[:, :, :, a],
                                   precision=jax.lax.Precision.HIGHEST)
 
         if use_sparse:
@@ -361,10 +552,18 @@ def stratified_attention(
                         "thl,lhd->thd", mass_s, tvf[:, :, :, a],
                         precision=jax.lax.Precision.HIGHEST)
 
-        denom = jnp.maximum(denom, 1e-20)
-        return out / denom[:, :, None]
+        return out, mx, denom
 
-    out_tiles = jax.lax.map(
+    acc_t, m_t, den_t = jax.lax.map(
         tile_body, jnp.arange(nt, dtype=jnp.int32),
         batch_size=min(tile_batch, nt) if tile_batch else None)
-    return out_tiles.reshape(n, h, d)
+    parts = [(acc_t.reshape(n, h, d), m_t.reshape(n, h),
+              den_t.reshape(n, h))]
+    if sparse_band is not None:
+        parts.append(sparse_band_triple(
+            q, k, v, xyz, sparse_band,
+            table_q=table_q, table_k=table_k, table_v=table_v,
+            window_size=window_size, quant_size=quant_size, scale=scale,
+            s_band=s_band, tile=tile, tile_batch=tile_batch,
+            rpe_precision=rpe_precision))
+    return merge_triples(parts)

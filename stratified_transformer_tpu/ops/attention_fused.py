@@ -43,13 +43,24 @@ def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,
     tvf = None if table_v is None else table_v.astype(jnp.float32)
     nbins = tqf.shape[0] if tqf is not None else 0
 
-    assert n % chunk == 0 or chunk > n, (n, chunk)
     chunk = min(chunk, n)
+    # Pad query rows to a chunk multiple (padding rows are invalid).
+    pad = (-n) % chunk
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
+        xf_q = jnp.pad(xf, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+        sparse_idx = jnp.pad(sparse_idx, ((0, pad), (0, 0)),
+                             constant_values=-1)
+        sparse_mask = jnp.pad(sparse_mask, ((0, pad), (0, 0)))
+    else:
+        xf_q = xf
+    n_pad_rows = n + pad
 
     @jax.checkpoint
     def row_chunk(c0):
         qc = jax.lax.dynamic_slice_in_dim(qf, c0, chunk)
-        xc = jax.lax.dynamic_slice_in_dim(xf, c0, chunk)
+        xc = jax.lax.dynamic_slice_in_dim(xf_q, c0, chunk)
         vc = jax.lax.dynamic_slice_in_dim(valid, c0, chunk)
         si = jax.lax.dynamic_slice_in_dim(sparse_idx, c0, chunk)
         sm = jax.lax.dynamic_slice_in_dim(sparse_mask, c0, chunk)
@@ -106,135 +117,12 @@ def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,
                     precision=jax.lax.Precision.HIGHEST)
         return acc, m, den
 
-    if chunk == n:
+    if chunk == n_pad_rows:
         return row_chunk(jnp.int32(0))
-    starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
+    starts = jnp.arange(0, n_pad_rows, chunk, dtype=jnp.int32)
     acc, m, den = jax.lax.map(row_chunk, starts)
-    return (acc.reshape(n, h, d), m.reshape(n, h), den.reshape(n, h))
-
-
-def _sparse_half_banded(
-    q, k, v, xyz, valid, plan, table_q, table_k, table_v, *,
-    window_size, quant_size, scale, subtile=32, row_cap=8, map_batch=8,
-):
-    """Table-banded sparse half: O(row_cap*S) contiguous table rows per
-    query subtile instead of per-query gathered key lists.
-
-    Exploits that every query of one large window shares the same sparse
-    key set (one table row), and that sorting queries by large-window key
-    makes row ids non-decreasing — so a subtile of queries touches a short
-    contiguous range of table rows (``dynamic_slice``, not gather).
-
-    Inputs are in small-sorted order; the result is mapped back to
-    small-sorted order. Returns (acc, m, den).
-    """
-    n, h, d = q.shape
-    s_cap = plan.table_sorted.shape[1]
-    assert n % subtile == 0
-    nst = n // subtile
-
-    qf = jnp.asarray(q, jnp.float32) * scale
-    kf = jnp.asarray(k, jnp.float32)
-    vf = jnp.asarray(v, jnp.float32)
-    xf = jnp.asarray(xyz, jnp.float32)
-    cells = plan.cells_sorted
-
-    # large-window ordering
-    q_lw = qf[plan.lw_map]
-    x_lw = xf[plan.lw_map]
-    c_lw = cells[plan.lw_map]
-    val_lw = valid[plan.lw_map]
-    rows = plan.lw_row                                   # [N]
-
-    tqf = None if table_q is None else table_q.astype(jnp.float32)
-    tkf = None if table_k is None else table_k.astype(jnp.float32)
-    tvf = None if table_v is None else table_v.astype(jnp.float32)
-    nbins = tqf.shape[0] if tqf is not None else 0
-    big = jnp.int32(n)
-
-    @jax.checkpoint
-    def subtile_body(t_idx):
-        t0 = t_idx * subtile
-        q_t = jax.lax.dynamic_slice_in_dim(q_lw, t0, subtile)
-        x_t = jax.lax.dynamic_slice_in_dim(x_lw, t0, subtile)
-        c_t = jax.lax.dynamic_slice_in_dim(c_lw, t0, subtile)
-        val_t = jax.lax.dynamic_slice_in_dim(val_lw, t0, subtile)
-        r_q = jax.lax.dynamic_slice_in_dim(rows, t0, subtile)    # [st]
-
-        r0 = jnp.min(jnp.where(r_q >= 0, r_q, big))
-        r0 = jnp.clip(r0, 0, n - row_cap)
-        tbl = jax.lax.dynamic_slice(
-            plan.table_sorted, (r0, 0), (row_cap, s_cap))        # [R,S]
-        kidx = jnp.clip(tbl, 0, n - 1).reshape(-1)               # [R*S]
-        k_s = kf[kidx]                                           # [RS,h,d]
-        v_s = vf[kidx]
-        x_s = xf[kidx]
-        c_s = cells[kidx]                                        # [RS,3]
-
-        row_ids = r0 + jnp.arange(row_cap, dtype=jnp.int32)
-        in_my_row = (r_q[:, None] == row_ids[None, :])           # [st,R]
-        in_my_row = jnp.repeat(in_my_row, s_cap, axis=1)         # [st,RS]
-        key_ok = (tbl.reshape(-1) >= 0)[None, :]
-        same_cell = jnp.all(
-            c_s[None, :, :] == c_t[:, None, :], axis=-1)         # [st,RS]
-        mask = in_my_row & key_ok & ~same_cell & val_t[:, None]
-
-        logits = jnp.einsum(
-            "thd,mhd->thm", q_t, k_s,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                 # [st,h,RS]
-
-        oh = None
-        if tqf is not None:
-            rel = x_t[:, None, :] - x_s[None, :, :]              # [st,RS,3]
-            ridx = jnp_attn.relative_position_index(
-                rel, window_size, quant_size, nbins)
-            bins = jnp.arange(nbins, dtype=jnp.int32)
-            oh = [(ridx[:, :, a, None] == bins).astype(jnp.float32)
-                  for a in range(3)]                             # [st,RS,L]
-            for a in range(3):
-                qproj_a = jnp.einsum(
-                    "thd,lhd->thl", q_t, tqf[:, :, :, a],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                logits += jnp.einsum(
-                    "thl,tml->thm", qproj_a, oh[a],
-                    precision=jax.lax.Precision.HIGHEST)
-                if tkf is not None:
-                    kproj_a = jnp.einsum(
-                        "mhd,lhd->mhl", k_s, tkf[:, :, :, a],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)    # [RS,h,L]
-                    logits += jnp.einsum(
-                        "tml,mhl->thm", oh[a], kproj_a,
-                        precision=jax.lax.Precision.HIGHEST)
-
-        logits = jnp.where(mask[:, None, :], logits, NEG_INF)
-        m = jnp.max(logits, axis=-1)
-        p = jnp.where(mask[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
-        den = jnp.sum(p, axis=-1)
-        acc = jnp.einsum(
-            "thm,mhd->thd", p, v_s,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        if tvf is not None:
-            for a in range(3):
-                mass = jnp.einsum(
-                    "thm,tml->thl", p, oh[a],
-                    precision=jax.lax.Precision.HIGHEST)
-                acc += jnp.einsum(
-                    "thl,lhd->thd", mass, tvf[:, :, :, a],
-                    precision=jax.lax.Precision.HIGHEST)
-        return acc, m, den
-
-    acc, m, den = jax.lax.map(
-        subtile_body, jnp.arange(nst, dtype=jnp.int32),
-        batch_size=min(map_batch, nst))
-    acc = acc.reshape(n, h, d)
-    m = m.reshape(n, h)
-    den = den.reshape(n, h)
-    # back to small-sorted order
-    return acc[plan.lw_unmap], m[plan.lw_unmap], den[plan.lw_unmap]
+    return (acc.reshape(-1, h, d)[:n], m.reshape(-1, h)[:n],
+            den.reshape(-1, h)[:n])
 
 
 def _merge(parts):
@@ -253,18 +141,20 @@ def _merge(parts):
 
 def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
               sparse_mask, table_q, table_k, table_v, *, window_size,
-              quant_size, scale, band, tile, w_chunk, interpret, plan=None):
+              quant_size, scale, band, tile, w_chunk, interpret,
+              sparse_band=None, s_band=256):
     parts = [band_attention(
         q, k, v, xyz, seg_start, seg_end, valid,
         table_q, table_k, table_v,
         window_size=window_size, quant_size=quant_size, scale=scale,
         band=band, tile=tile, w_chunk=w_chunk, interpret=interpret)]
-    # NOTE: the table-banded variant (_sparse_half_banded) measured SLOWER
-    # than the chunked path on v5e (21.3 vs 15.5 ms at N=8192): the static
-    # row_cap padding multiplies the cRPE bias compute, which dominates the
-    # gathers it saves. Kept for configurations with very large windows;
-    # chunked is the default.
-    if sparse_idx is not None:
+    if sparse_band is not None:
+        parts.append(jnp_attn.sparse_band_triple(
+            q, k, v, xyz, sparse_band,
+            table_q=table_q, table_k=table_k, table_v=table_v,
+            window_size=window_size, quant_size=quant_size, scale=scale,
+            s_band=s_band, tile=tile))
+    elif sparse_idx is not None:
         parts.append(_sparse_half(
             q, k, v, xyz, valid, sparse_idx, sparse_mask,
             table_q, table_k, table_v, window_size=window_size,
@@ -277,7 +167,7 @@ def stratified_attention_fused(
     sparse_idx=None, sparse_mask=None,
     table_q=None, table_k=None, table_v=None,
     *, window_size, quant_size, scale, band, tile=128, w_chunk=64,
-    interpret=False, plan=None,
+    interpret=False, sparse_band=None, s_band=256,
 ):
     """Drop-in fused (Pallas) variant of
     ``ops.attention.stratified_attention``."""
@@ -289,14 +179,15 @@ def stratified_attention_fused(
         return jnp_attn.stratified_attention(
             q, k, v, xyz, seg_start, seg_end, valid,
             sparse_idx=sparse_idx, sparse_mask=sparse_mask,
-            table_q=tq, table_k=tk, table_v=tv, **kw)
+            table_q=tq, table_k=tk, table_v=tv,
+            sparse_band=sparse_band, s_band=s_band, **kw)
 
     @jax.custom_vjp
     def f(q, k, v, tq, tk, tv):
         return _fwd_impl(
             q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
             sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
-            interpret=interpret, plan=plan)
+            interpret=interpret, sparse_band=sparse_band, s_band=s_band)
 
     def f_fwd(q, k, v, tq, tk, tv):
         return f(q, k, v, tq, tk, tv), (q, k, v, tq, tk, tv)

@@ -21,6 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from stratified_transformer_tpu.ops import hashing
+from stratified_transformer_tpu.ops import windows as win
+
 BIG = jnp.float32(1e10)
 
 
@@ -100,6 +103,159 @@ def knn(
     return idx, dist, mask
 
 
+def grid_knn(
+    query_xyz,
+    query_batch,
+    ref_xyz,
+    ref_batch,
+    ref_valid,
+    k,
+    *,
+    cell,
+    cap=32,
+    rings=1,
+    radius=None,
+    query_valid=None,
+    chunk=None,
+):
+    """Cell-list k-nearest-neighbors (the TPU-native fast path).
+
+    Replaces the brute-force O(N_q * N_ref) scan of `knn` with a spatial
+    cell list: reference points are bucketed into grid cells of edge
+    ``cell`` (fixed capacity ``cap`` per cell, built with one sort via
+    `windows.sparse_key_table`), and each query examines only the
+    ``(2*rings+1)**3`` cells around its own — O(N_q * 27 * cap) work.
+
+    Exactness: every reference point within ``rings * cell`` of the query
+    is a candidate, so results equal exact kNN whenever the true k-th
+    neighbor distance is below ``rings * cell`` and no searched cell holds
+    more than ``cap`` points. The reference's own kernels set the precedent
+    for capacity capping (48-pt window cap ``util/voxelize.py:38-42``;
+    ``n_max <= 1024`` ``functions/pointops.py:150``); ball_query likewise
+    truncates arbitrarily at ``max_num_neighbors`` (``train.py:324-329``).
+
+    Args / returns: as `knn`, plus ``radius`` (drop candidates beyond it —
+    the ball-query mode) and cell-list knobs.
+    """
+    nq = query_xyz.shape[0]
+    n_ref = ref_xyz.shape[0]
+    query_ok = (jnp.ones((nq,), bool) if query_valid is None
+                else jnp.asarray(query_valid))
+
+    start = hashing.masked_min(ref_xyz, ref_valid)
+    rcells = hashing.window_cells(ref_xyz, cell, start=start)
+    hi = jnp.max(jnp.where(ref_valid[:, None], rcells, 0), axis=0) + 1
+    rkey = hashing.window_keys(rcells, ref_batch, ref_valid, cells_hi=hi)
+
+    # --- per-cell tables (one sort; everything else is O(N) scatters —
+    # TPU gathers/scatters cost ~constant per *index*, so we keep index
+    # counts minimal and row widths wide) ---
+    order = jnp.argsort(jnp.where(ref_valid, rkey, hashing.INVALID_KEY),
+                        stable=True).astype(jnp.int32)
+    key_sorted = rkey[order]
+    pos = jnp.arange(n_ref, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
+    row_of_pos = jnp.cumsum(head) - 1                        # cell ordinal
+    seg_start = jax.lax.cummax(jnp.where(head, pos, 0))
+    rank = pos - seg_start
+    ok_pos = (key_sorted != hashing.INVALID_KEY) & (rank < cap)
+    row_w = jnp.where(ok_pos, row_of_pos, n_ref)
+    rank_w = jnp.where(ok_pos, rank, 0)
+
+    # idx table [n_ref, cap] and packed coord table [n_ref, 3*cap]
+    # (built by N-index scatters of the sorted arrays, not cap*N gathers).
+    table = jnp.full((n_ref, cap), -1, jnp.int32)
+    table = table.at[row_w, rank_w].set(order, mode="drop")
+    xyz_sorted = ref_xyz[order].astype(jnp.float32)          # [n_ref, 3]
+    ctab = jnp.full((n_ref, 3, cap), BIG, jnp.float32)
+    ctab = ctab.at[row_w, :, rank_w].set(xyz_sorted, mode="drop")
+    ctab = ctab.reshape(n_ref, 3 * cap)
+
+    # dense key -> row map (replaces binary search: one gather per lookup)
+    dense_size = 1 << 22
+    key_of_row = jnp.where(head & ok_pos, key_sorted, dense_size)
+    key_of_row = jnp.where(key_of_row < dense_size, key_of_row, dense_size)
+    rowmap = jnp.full((dense_size,), -1, jnp.int32)
+    rowmap = rowmap.at[key_of_row].set(row_of_pos.astype(jnp.int32),
+                                       mode="drop")
+
+    d = 2 * rings + 1
+    axr = jnp.arange(-rings, rings + 1, dtype=jnp.int32)
+    offs = jnp.stack(
+        jnp.meshgrid(axr, axr, axr, indexing="ij"), axis=-1
+    ).reshape(-1, 3)                                          # [D, 3]
+    n_cells = d ** 3
+
+    qcells_all = hashing.window_cells(query_xyz, cell, start=start)
+
+    def one_chunk(args):
+        qx, qb, qcells, qok = args
+        m = qx.shape[0]
+        ncells = qcells[:, None, :] + offs[None]              # [m, D, 3]
+        in_range = jnp.all((ncells >= 0) & (ncells < hi), -1)  # [m, D]
+        in_range &= qok[:, None]
+        nkey = hashing.window_keys(
+            ncells.reshape(-1, 3),
+            jnp.repeat(qb, n_cells),
+            in_range.reshape(-1),
+            cells_hi=hi,
+        )
+        safe = in_range.reshape(-1) & (nkey >= 0) & (nkey < dense_size)
+        row = jnp.where(
+            safe, rowmap[jnp.clip(nkey, 0, dense_size - 1)], -1
+        ).reshape(m, n_cells)
+        rowc = jnp.clip(row, 0, n_ref - 1)
+        crows = ctab[rowc]                                    # [m, D, 3*cap]
+        irows = table[rowc]                                   # [m, D, cap]
+        ok = (row >= 0)[..., None] & (irows >= 0)
+        cand = jnp.where(ok, irows, 0).reshape(m, -1)
+        ok = ok.reshape(m, -1)
+        d2 = jnp.zeros((m, n_cells * cap), jnp.float32)
+        for a in range(3):
+            ca = crows[:, :, a * cap:(a + 1) * cap].reshape(m, -1)
+            diff = jnp.where(ok, ca - qx[:, a, None].astype(jnp.float32),
+                             0.0)
+            d2 = d2 + diff * diff
+        d2 = jnp.where(ok, d2, BIG)
+        if radius is not None:
+            d2 = jnp.where(d2 <= jnp.float32(radius) ** 2, d2, BIG)
+        kk = min(k, d2.shape[1])
+        neg_d, pos = jax.lax.top_k(-d2, kk)
+        dist = -neg_d
+        idx = jnp.take_along_axis(cand, pos, axis=1)
+        mask = dist < BIG
+        if kk < k:                                            # degenerate cap
+            idx = jnp.pad(idx, ((0, 0), (0, k - kk)))
+            dist = jnp.pad(dist, ((0, 0), (0, k - kk)),
+                           constant_values=BIG)
+            mask = jnp.pad(mask, ((0, 0), (0, k - kk)))
+        idx0 = idx[:, :1]
+        idx = jnp.where(mask, idx, idx0)
+        return idx.astype(jnp.int32), dist, mask
+
+    if chunk is None or chunk >= nq:
+        idx, dist, mask = one_chunk(
+            (query_xyz, query_batch, qcells_all, query_ok))
+    else:
+        pad = (-nq) % chunk
+        qx = jnp.pad(query_xyz, ((0, pad), (0, 0)))
+        qb = jnp.pad(query_batch, (0, pad), constant_values=-1)
+        qc = jnp.pad(qcells_all, ((0, pad), (0, 0)))
+        qo = jnp.pad(query_ok, (0, pad))
+        ncnk = qx.shape[0] // chunk
+        idx, dist, mask = jax.lax.map(
+            one_chunk,
+            (qx.reshape(ncnk, chunk, 3), qb.reshape(ncnk, chunk),
+             qc.reshape(ncnk, chunk, 3), qo.reshape(ncnk, chunk)),
+        )
+        idx = idx.reshape(-1, k)[:nq]
+        dist = dist.reshape(-1, k)[:nq]
+        mask = mask.reshape(-1, k)[:nq]
+    mask &= query_ok[:, None]
+    return idx, dist, mask
+
+
 def radius_neighbors(
     query_xyz,
     query_batch,
@@ -111,6 +267,11 @@ def radius_neighbors(
     *,
     query_valid=None,
     chunk=512,
+    method="brute",
+    cell=None,
+    cap=32,
+    rings=1,
+    grid_chunk=None,
 ):
     """Up-to-``k`` neighbors within ``radius`` (nearest-first).
 
@@ -124,6 +285,14 @@ def radius_neighbors(
 
     Returns ``idx [M, k]`` int32, ``mask [M, k]`` bool.
     """
+    if method == "grid":
+        idx, _, mask = grid_knn(
+            query_xyz, query_batch, ref_xyz, ref_batch, ref_valid, k,
+            cell=float(radius) if cell is None else cell, cap=cap,
+            rings=rings, radius=radius, query_valid=query_valid,
+            chunk=grid_chunk,
+        )
+        return idx, mask
     idx, dist, mask = knn(
         query_xyz, query_batch, ref_xyz, ref_batch, ref_valid, k,
         query_valid=query_valid, chunk=chunk,
@@ -146,6 +315,11 @@ def three_nn_interpolate(
     query_valid=None,
     k=3,
     chunk=512,
+    method="brute",
+    cell=None,
+    cap=32,
+    rings=1,
+    grid_chunk=None,
 ):
     """Inverse-distance weighted k-NN (k=3) feature interpolation.
 
@@ -155,16 +329,68 @@ def three_nn_interpolate(
 
     Returns ``[M, C]`` interpolated features.
     """
-    idx, dist2, mask = knn(
-        query_xyz, query_batch, support_xyz, support_batch, support_valid, k,
-        query_valid=query_valid, chunk=chunk,
-    )
+    if method == "grid":
+        idx, dist2, mask = grid_knn(
+            query_xyz, query_batch, support_xyz, support_batch,
+            support_valid, k, cell=cell, cap=cap, rings=rings,
+            query_valid=query_valid, chunk=grid_chunk,
+        )
+    else:
+        idx, dist2, mask = knn(
+            query_xyz, query_batch, support_xyz, support_batch,
+            support_valid, k, query_valid=query_valid, chunk=chunk,
+        )
     d = jnp.sqrt(dist2)
     recip = jnp.where(mask, 1.0 / (d + 1e-8), 0.0)
     denom = jnp.sum(recip, -1, keepdims=True)
     w = recip / jnp.maximum(denom, 1e-12)
     gathered = support_feats[idx]  # [M, k, C]
     return jnp.sum(gathered * w[..., None].astype(support_feats.dtype), axis=1)
+
+
+def subtraction(input1, input2, idx, mask=None):
+    """Pairwise difference ``out[i, j] = input1[i] - input2[idx[i, j]]``.
+
+    Mirrors ``pointops.subtraction`` (``functions/pointops.py:695-722``;
+    CUDA ``subtraction_cuda_kernel.cu:5-32``) — the point-transformer
+    positional-difference op. Unused by the stratified models but part of
+    the pointops2 public API. Differentiable via jnp (the CUDA backward's
+    atomicAdd scatter becomes a segment-sum in the VJP).
+
+    Args:
+      input1/input2: ``[N, C]``; idx: ``[N, k]`` int32; mask: optional
+        ``[N, k]`` bool (invalid slots produce zeros).
+    Returns: ``[N, k, C]``.
+    """
+    out = input1[:, None, :] - input2[idx]
+    if mask is not None:
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out
+
+
+def aggregation(feats, position, weight, idx, mask=None):
+    """Point-transformer vector aggregation.
+
+    ``out[n] = sum_j (feats[idx[n, j]] + position[n, j]) * weight[n, j]``
+    where ``weight`` has ``w_c`` channels shared over groups of
+    ``C / w_c`` feature channels (weight channel ``c % w_c`` scales feature
+    channel ``c`` — ``aggregation_cuda_kernel.cu:5-20``). Mirrors
+    ``pointops.aggregation`` (``functions/pointops.py:725-753``).
+
+    Args:
+      feats: ``[N, C]``; position: ``[N, k, C]``; weight: ``[N, k, w_c]``
+      with ``C % w_c == 0``; idx: ``[N, k]``; mask: optional ``[N, k]``.
+    Returns: ``[N, C]``.
+    """
+    n, k = idx.shape
+    c = feats.shape[-1]
+    w_c = weight.shape[-1]
+    assert c % w_c == 0, (c, w_c)
+    vals = feats[idx] + position                       # [N, k, C]
+    w = jnp.tile(weight, (1, 1, c // w_c))             # channel groups
+    if mask is not None:
+        w = jnp.where(mask[..., None], w, 0.0)
+    return jnp.sum(vals * w, axis=1)
 
 
 def gather_group(feats, idx, mask, fill=0.0):

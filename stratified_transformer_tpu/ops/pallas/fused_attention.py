@@ -65,6 +65,8 @@ def _band_kernel(
     num_heads,
     head_dim,
     num_bins,
+    bin_lo,
+    num_bins_full,
     window_size,
     quant_size,
     use_rpe,
@@ -122,8 +124,10 @@ def _band_kernel(
                 rel_a = jnp.round(rel_a * 1e5) / 1e5
                 ridx_a = jnp.floor(
                     (rel_a + 2.0 * window_size - 1e-4) / quant_size)
+                ridx_a = jnp.clip(ridx_a, 0, num_bins_full - 1)
+                # shift into the band table slice (exact for band pairs)
                 ridx_a = jnp.clip(
-                    ridx_a, 0, num_bins - 1).astype(jnp.int32)
+                    ridx_a - bin_lo, 0, num_bins - 1).astype(jnp.int32)
                 ridxs.append(
                     jnp.pad(ridx_a, ((0, 0), (0, xq - w_chunk))))
                 ridxs_tp.append(jnp.pad(
@@ -257,7 +261,20 @@ def band_attention(
 
     use_rpe = table_q is not None
     use_rel_value = table_v is not None
-    num_bins = table_q.shape[0] if use_rpe else 0
+    num_bins_full = table_q.shape[0] if use_rpe else 0
+
+    # Band pairs share a small window => per-axis |rel| < window, so only
+    # the middle ~qgl+3 of the 2*qgl table rows are reachable (the rest
+    # exist for the +-2*window sparse pairs). Slice the tables and shift
+    # the bin index — exact for every unmasked pair, ~2x less RPE compute.
+    # nb is rounded to a sublane multiple for Mosaic-friendly shapes.
+    bin_lo = 0
+    num_bins = num_bins_full
+    if use_rpe:
+        qgl = num_bins_full // 2
+        bin_lo = max(qgl // 2 - 1, 0)
+        nb = ((qgl + 3 + 7) // 8) * 8
+        num_bins = min(num_bins_full - bin_lo, nb)
 
     hd = h * d
     hd_pad = ((hd + 127) // 128) * 128
@@ -277,8 +294,8 @@ def band_attention(
     se = jnp.asarray(seg_end, jnp.int32)[:, None]
 
     def pack(t):
-        # [L2,h,d,3] -> [3, L2, h*d]
-        tt = jnp.asarray(t, jnp.float32)
+        # [L2,h,d,3] -> [3, nb, h*d] (band slice of the table rows)
+        tt = jnp.asarray(t, jnp.float32)[bin_lo:bin_lo + num_bins]
         return jnp.transpose(tt, (3, 0, 1, 2)).reshape(3, num_bins, h * d)
 
     dummy = jnp.zeros((1, 1, 1), jnp.float32)
@@ -288,7 +305,8 @@ def band_attention(
 
     kernel = functools.partial(
         _band_kernel, tile=tile, band=band, w_chunk=w_chunk,
-        num_heads=h, head_dim=d, num_bins=num_bins,
+        num_heads=h, head_dim=d, num_bins=num_bins, bin_lo=bin_lo,
+        num_bins_full=num_bins_full,
         window_size=float(window_size), quant_size=float(quant_size),
         use_rpe=use_rpe, use_rel_value=use_rel_value,
     )

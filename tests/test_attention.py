@@ -64,12 +64,13 @@ def test_oracle_matches_numpy(rng):
 
 
 def _production(xyz, batch, valid, q, k, v, tq, tk, tv, is_down, shifted,
-                band=32, tile=32, sparse_cap=24):
+                band=32, tile=32, sparse_cap=24, mode="band"):
     plan = plan_mod.build_attention_plan(
         jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), WS,
         shifted=shifted,
         is_down=None if is_down is None else jnp.asarray(is_down),
         sparse_cap=sparse_cap,
+        with_sparse_gather=(mode == "gather"),
     )
     o = plan.order
     out_sorted = attn.stratified_attention(
@@ -81,6 +82,7 @@ def _production(xyz, batch, valid, q, k, v, tq, tk, tv, is_down, shifted,
         table_v=None if tv is None else jnp.asarray(tv),
         window_size=WS, quant_size=QUANT, scale=SCALE,
         band=band, tile=tile,
+        sparse_band=None if mode == "gather" else plan.sparse_band,
     )
     return np.asarray(out_sorted[plan.inv_order])
 
@@ -102,6 +104,8 @@ def test_production_dense_only_matches_numpy(rng):
 
 
 def test_production_stratified_matches_numpy(rng):
+    """Both sparse layouts (band = production, gather = legacy oracle
+    path) must match the explicit pair-list reference."""
     xyz, batch, valid, q, k, v = _scene(rng)
     tq, tk, tv = _tables(rng)
     n_valid = valid.sum()
@@ -112,11 +116,13 @@ def test_production_stratified_matches_numpy(rng):
             down_mask=is_down[:n_valid])
         expect = np_pair_attention(
             q, k, v, xyz, pi, pj, WS, QUANT, SCALE, tq, tk, tv)
-        got = _production(
-            xyz, batch, valid, q, k, v, tq, tk, tv, is_down, shifted)
-        np.testing.assert_allclose(
-            got[:n_valid], expect[:n_valid], rtol=2e-4, atol=2e-5,
-            err_msg=f"shifted={shifted}")
+        for mode in ("band", "gather"):
+            got = _production(
+                xyz, batch, valid, q, k, v, tq, tk, tv, is_down, shifted,
+                mode=mode)
+            np.testing.assert_allclose(
+                got[:n_valid], expect[:n_valid], rtol=2e-4, atol=2e-5,
+                err_msg=f"shifted={shifted} mode={mode}")
 
 
 def test_production_no_rpe(rng):
@@ -162,9 +168,9 @@ def test_gradients_match_oracle(rng):
         out_sorted = attn.stratified_attention(
             q_[o], k_[o], v_[o], plan.xyz_sorted, plan.seg_start,
             plan.seg_end, plan.valid_sorted,
-            sparse_idx=plan.sparse_idx, sparse_mask=plan.sparse_mask,
             table_q=tq_, table_k=tk_, table_v=tv_,
-            window_size=WS, quant_size=QUANT, scale=SCALE, band=32, tile=32)
+            window_size=WS, quant_size=QUANT, scale=SCALE, band=32, tile=32,
+            sparse_band=plan.sparse_band)
         return jnp.sum(out_sorted[plan.inv_order] * cot)
 
     args = tuple(jnp.asarray(a) for a in (q, k, v, tq, tk, tv))

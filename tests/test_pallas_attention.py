@@ -54,14 +54,12 @@ def test_fused_matches_jnp(rng, with_rpe):
               tile=TILE)
     ref = jnp_attn.stratified_attention(
         q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
-        plan.valid_sorted, sparse_idx=plan.sparse_idx,
-        sparse_mask=plan.sparse_mask, table_q=tq, table_k=tk, table_v=tv,
+        plan.valid_sorted, sparse_band=plan.sparse_band, table_q=tq, table_k=tk, table_v=tv,
         **kw)
     got = stratified_attention_fused(
         q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
-        plan.valid_sorted, sparse_idx=plan.sparse_idx,
-        sparse_mask=plan.sparse_mask, table_q=tq, table_k=tk, table_v=tv,
-        **kw, w_chunk=WCHUNK, interpret=True, plan=plan)
+        plan.valid_sorted, sparse_band=plan.sparse_band, table_q=tq, table_k=tk, table_v=tv,
+        **kw, w_chunk=WCHUNK, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
@@ -77,17 +75,15 @@ def test_fused_gradients_match(rng):
     def loss_ref(q_, k_, v_, a, b, c):
         out = jnp_attn.stratified_attention(
             q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
-            plan.valid_sorted, sparse_idx=plan.sparse_idx,
-            sparse_mask=plan.sparse_mask, table_q=a, table_k=b,
+            plan.valid_sorted, sparse_band=plan.sparse_band, table_q=a, table_k=b,
             table_v=c, **kw)
         return jnp.sum(out * cot)
 
     def loss_fused(q_, k_, v_, a, b, c):
         out = stratified_attention_fused(
             q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
-            plan.valid_sorted, sparse_idx=plan.sparse_idx,
-            sparse_mask=plan.sparse_mask, table_q=a, table_k=b,
-            table_v=c, **kw, w_chunk=WCHUNK, interpret=True, plan=plan)
+            plan.valid_sorted, sparse_band=plan.sparse_band, table_q=a, table_k=b,
+            table_v=c, **kw, w_chunk=WCHUNK, interpret=True)
         return jnp.sum(out * cot)
 
     g_r = jax.grad(loss_ref, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)

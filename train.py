@@ -275,6 +275,17 @@ def main():
     metrics_path = os.path.join(save_path, "metrics.jsonl")
     os.makedirs(save_path, exist_ok=True)
 
+    # TensorBoard scalars, mirroring the reference's tensorboardX writer
+    # (reference train.py:19,143,275-276,393-395). Optional: falls back to
+    # metrics.jsonl-only logging when tensorboard isn't importable.
+    writer = None
+    if cfg.get("use_tensorboard", True):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(os.path.join(save_path, "tb"))
+        except Exception:
+            logger.info("tensorboard unavailable; metrics.jsonl only")
+
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         inter_sum = np.zeros(ncls)
@@ -332,8 +343,14 @@ def main():
 
         with open(metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if writer is not None:
+            for key, value in record.items():
+                if key != "epoch":
+                    writer.add_scalar(key, value, epoch + 1)
         if (epoch + 1) % int(cfg.get("save_freq", 1)) == 0:
             ckpt.save(os.path.join(save_path, "ckpt"), state, epoch + 1)
+    if writer is not None:
+        writer.close()
     logger.info("==>Training done!")
 
 
