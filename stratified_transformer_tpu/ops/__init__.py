@@ -39,3 +39,14 @@ from stratified_transformer_tpu.ops.attention import (  # noqa: F401
     pair_attention_reference,
     stratified_attention,
 )
+from stratified_transformer_tpu.ops.legacy import (  # noqa: F401
+    ball_query_dense,
+    feature_distribute,
+    feature_gather,
+    gathering,
+    grouping_dense,
+    knn_dense,
+    labelstat_and_ballquery,
+    labelstat_ballrange,
+    labelstat_idx,
+)
