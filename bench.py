@@ -33,7 +33,10 @@ def main():
     num_scenes = 2
     cfg = StratifiedConfig(
         num_classes=13, in_channels=6, n_pad=n_pad, num_scenes=num_scenes,
-        band=128, tile=128, sparse_cap=48, sampler="grid")
+        band=128, tile=128, sparse_cap=48, sampler="grid",
+        # production precision (matches configs/s3dis_stratified.yaml):
+        # bf16 MXU passes for cRPE one-hot contractions + QK/PV matmuls
+        rpe_precision="default", qk_precision="default")
     model = Stratified(cfg)
 
     b = _example_batch(n_pad, num_scenes, cfg.in_channels)

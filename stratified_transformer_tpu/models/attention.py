@@ -33,11 +33,14 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     band: int = 256
     tile: int = 128
+    tile_batch: int = 16           # tiles per lax.map step (chunked vmap)
     impl: str = "reference"        # "reference" (jnp) | "fused" (Pallas)
     w_chunk: int = 128
     interpret: bool = False        # Pallas interpret mode (CPU testing)
     dtype: str | None = None       # compute dtype for projections
     rpe_precision: str = "highest"
+    qk_precision: str = "highest"  # QK^T / PV contraction precision
+    remat: str = "full"            # "full" | "save_p" | "none"
     s_band: int = 256              # sparse-band aux window per query tile
 
     @nn.compact
@@ -87,7 +90,9 @@ class WindowAttention(nn.Module):
                 table_q=tq, table_k=tk, table_v=tv,
                 window_size=self.window_size, quant_size=self.quant_size,
                 scale=scale, band=self.band, tile=self.tile,
+                tile_batch=self.tile_batch,
                 rpe_precision=self.rpe_precision,
+                qk_precision=self.qk_precision, remat=self.remat,
                 sparse_band=plan.sparse_band, s_band=self.s_band,
             )
         out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
@@ -109,11 +114,14 @@ class Block(nn.Module):
     qkv_bias: bool = True
     band: int = 256
     tile: int = 128
+    tile_batch: int = 16
     impl: str = "reference"
     w_chunk: int = 128
     interpret: bool = False
     dtype: str | None = None
     rpe_precision: str = "highest"
+    qk_precision: str = "highest"
+    remat: str = "full"
     s_band: int = 256
 
     @nn.compact
@@ -125,9 +133,11 @@ class Block(nn.Module):
             window_size=self.window_size, quant_size=self.quant_size,
             rel_query=self.rel_query, rel_key=self.rel_key,
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
-            band=self.band, tile=self.tile, impl=self.impl,
+            band=self.band, tile=self.tile, tile_batch=self.tile_batch,
+            impl=self.impl,
             w_chunk=self.w_chunk, interpret=self.interpret,
             dtype=self.dtype, rpe_precision=self.rpe_precision,
+            qk_precision=self.qk_precision, remat=self.remat,
             s_band=self.s_band, name="attn",
         )(x, plan, training=training)
         if training and self.drop_path_rate > 0:

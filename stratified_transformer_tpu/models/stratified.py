@@ -88,6 +88,9 @@ class StratifiedConfig:
     pallas_interpret: bool = False
     compute_dtype: str | None = None          # e.g. "bfloat16" (AMP analogue)
     rpe_precision: str = "highest"            # "default" = bf16 cRPE matmuls
+    qk_precision: str = "highest"             # "default" = bf16 QK/PV matmuls
+    tile_batch: int = 16                      # attention tiles per map step
+    attn_remat: str = "full"                  # "full" | "save_p" | "none"
 
     # -------- derived (reference train.py:110-113) --------
     @property
@@ -185,9 +188,11 @@ class BasicLayer(nn.Module):
                 rel_query=cfg.rel_query, rel_key=cfg.rel_key,
                 rel_value=cfg.rel_value, drop_path_rate=dps[base + b],
                 mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
+                tile_batch=cfg.tile_batch, remat=cfg.attn_remat,
                 impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
-                rpe_precision=cfg.rpe_precision, s_band=cfg.s_band,
+                rpe_precision=cfg.rpe_precision,
+                qk_precision=cfg.qk_precision, s_band=cfg.s_band,
                 name=f"blocks_{b}",
             )(feats, plans[b % 2], training=training)
         return feats

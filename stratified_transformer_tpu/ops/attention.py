@@ -49,6 +49,59 @@ def relative_position_index(rel, window_size, quant_size, num_bins):
     return jnp.clip(ridx, 0, num_bins - 1).astype(jnp.int32)
 
 
+def _prec(name):
+    return (jax.lax.Precision.HIGHEST if name == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+
+def _remat(fn, mode):
+    """Rematerialisation policy for the per-tile attention bodies.
+
+    "full": recompute everything in backward (min memory — the default);
+    "save_p": store the softmax probabilities / online-softmax stats and
+      recompute only the cheap elementwise work (one-hots, masks) — the
+      backward then skips the QK / bias matmul recompute entirely at
+      ~[T,h,W] fp32 per tile of extra HBM;
+    "none": no remat (scan saves every intermediate incl. one-hots —
+      only viable at small N).
+    """
+    if mode == "none":
+        return fn
+    if mode == "save_p":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_p", "attn_stat")
+        return jax.checkpoint(fn, policy=policy)
+    return jax.checkpoint(fn)
+
+
+def _named(x, name):
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, name)
+
+
+def pack_table3(t):
+    """``[L, h, d, 3] -> [3L, h, d]`` — axis ``a``'s rows at ``a*L + l``.
+
+    Packing the 3 quantized axes into one table lets every cRPE bias /
+    mass term run as ONE contraction of length ``3L`` instead of three
+    thin ``L`` ones (fewer, better-MXU-shaped matmuls; identical math —
+    the sum over axes becomes part of the contraction).
+    """
+    l, h, d, _ = t.shape
+    return jnp.transpose(t, (3, 0, 1, 2)).reshape(3 * l, h, d)
+
+
+def packed_one_hot(ridx, num_bins, dtype=jnp.float32):
+    """``[..., 3]`` int bins -> packed one-hot ``[..., 3*num_bins]``.
+
+    Column ``a*num_bins + l`` is 1 where ``ridx[..., a] == l`` — the
+    companion layout to `pack_table3`. bf16 entries are exact (0/1).
+    """
+    bins = jnp.arange(num_bins, dtype=jnp.int32)
+    oh = (ridx[..., None] == bins).astype(dtype)       # [..., 3, L]
+    return oh.reshape(*ridx.shape[:-1], 3 * num_bins)
+
+
 def _table_bias_from_proj(proj, ridx):
     """``out[..., j] = sum_a proj[..., ridx[..., j, a], a]``.
 
@@ -168,6 +221,8 @@ def sparse_band_triple(
     tile=128,
     tile_batch=16,
     rpe_precision="highest",
+    qk_precision="highest",
+    remat="full",
 ):
     """Stratified far-key attention over the band-structured aux layout.
 
@@ -216,10 +271,10 @@ def sparse_band_triple(
     tqf = None if table_q is None else table_q.astype(jnp.float32)
     tkf = None if table_k is None else table_k.astype(jnp.float32)
     tvf = None if table_v is None else table_v.astype(jnp.float32)
-    rpe_prec = (jax.lax.Precision.HIGHEST if rpe_precision == "highest"
-                else jax.lax.Precision.DEFAULT)
+    rpe_prec = _prec(rpe_precision)
+    qk_prec = _prec(qk_precision)
+    oh_dtype = jnp.float32 if rpe_precision == "highest" else jnp.bfloat16
 
-    @jax.checkpoint
     def tile_body(t_idx):
         t0 = t_idx * tile
         q_t = jax.lax.dynamic_slice_in_dim(q_lw, t0, tile)        # [T,h,d]
@@ -247,23 +302,24 @@ def sparse_band_triple(
         logits = jnp.einsum(
             "thd,whd->thw", q_t, k_b,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=qk_prec)
 
-        ridx = None
+        ohs = None
         if use_rpe:
             rel = x_t[:, None, :] - x_b[None, :, :]               # [T,S,3]
             ridx = relative_position_index(
                 rel, window_size, quant_size, num_bins)
             bins = jnp.arange(num_bins, dtype=jnp.int32)
+            ohs = [(ridx[:, :, a, None] == bins).astype(oh_dtype)
+                   for a in range(3)]
             for a in range(3):
-                oh = (ridx[:, :, a, None] == bins).astype(jnp.float32)
                 if tqf is not None:
                     qproj_a = jnp.einsum(
                         "thd,lhd->thl", q_t, tqf[:, :, :, a],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits += jnp.einsum(
-                        "thl,twl->thw", qproj_a, oh,
+                        "thl,twl->thw", qproj_a, ohs[a],
                         preferred_element_type=jnp.float32,
                         precision=rpe_prec)
                 if tkf is not None:
@@ -272,31 +328,30 @@ def sparse_band_triple(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits += jnp.einsum(
-                        "twl,whl->thw", oh, kproj_a,
+                        "twl,whl->thw", ohs[a], kproj_a,
                         preferred_element_type=jnp.float32,
                         precision=rpe_prec)
 
         logits = jnp.where(mask[:, None, :], logits, NEG_INF)
         m = jnp.max(logits, axis=-1)
-        m = jnp.maximum(m, NEG_INF)
+        m = _named(jnp.maximum(m, NEG_INF), "attn_stat")
         p = jnp.where(mask[:, None, :], jnp.exp(logits - m[:, :, None]), 0.0)
-        den = jnp.sum(p, axis=-1)
+        p = _named(p, "attn_p")
+        den = _named(jnp.sum(p, axis=-1), "attn_stat")
         acc = jnp.einsum(
             "thw,whd->thd", p, v_b,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=qk_prec)
         if tvf is not None:
             for a in range(3):
-                oh = jax.nn.one_hot(
-                    ridx[:, :, a], num_bins, dtype=jnp.float32)
-                mass = jnp.einsum("thw,twl->thl", p, oh,
+                mass = jnp.einsum("thw,twl->thl", p, ohs[a],
                                   precision=rpe_prec)
                 acc += jnp.einsum("thl,lhd->thd", mass, tvf[:, :, :, a],
                                   precision=jax.lax.Precision.HIGHEST)
         return acc, m, den
 
     acc, m, den = jax.lax.map(
-        tile_body, jnp.arange(nt, dtype=jnp.int32),
+        _remat(tile_body, remat), jnp.arange(nt, dtype=jnp.int32),
         batch_size=min(tile_batch, nt) if tile_batch else None)
     acc = acc.reshape(n, h, d)
     m = m.reshape(n, h)
@@ -327,6 +382,8 @@ def stratified_attention(
     tile=128,
     tile_batch=16,
     rpe_precision="highest",
+    qk_precision="highest",
+    remat="full",
     sparse_band=None,
     s_band=256,
 ):
@@ -352,9 +409,12 @@ def stratified_attention(
       tile_batch: tiles processed per ``lax.map`` step (chunked vmap) —
         larger = better MXU batching, more transient memory.
       rpe_precision: "highest" (fp32, reference-exact) or "default"
-        (bf16 MXU passes) for the one-hot cRPE contractions. One-hot
-        entries are exact in bf16; only the table projections round
-        (~0.4% relative on the bias term).
+        (bf16 MXU passes + bf16 one-hot materialisation — entries are
+        exact in bf16; only the table projections round, ~0.4% relative
+        on the bias term).
+      qk_precision: "highest" (fp32, reference-exact — the reference
+        forces fp32 attention math under AMP) or "default" (bf16 MXU
+        passes, 1 pass vs 6) for the QK^T and PV contractions.
 
     Returns:
       ``[N, h, d]`` float32.
@@ -392,14 +452,19 @@ def stratified_attention(
 
     use_sparse = sparse_idx is not None
     s_cap = 0 if not use_sparse else sparse_idx.shape[1]
-    rpe_prec = (jax.lax.Precision.HIGHEST if rpe_precision == "highest"
-                else jax.lax.Precision.DEFAULT)
+    rpe_prec = _prec(rpe_precision)
+    qk_prec = _prec(qk_precision)
+    oh_dtype = jnp.float32 if rpe_precision == "highest" else jnp.bfloat16
 
     # Dense (band) pairs live in the same small window, so per-axis
     # |rel| < window  =>  ridx in (qgl/2, 3*qgl/2) where qgl = num_bins/2
     # (bins cover +-2*window for the sparse large-window pairs). The band
     # half therefore only needs the middle ~qgl+2 table rows — out-of-range
     # pairs are exactly the masked ones, so clipping to the slice is exact.
+    # NOTE: per-axis one-hot loops beat a 3-axis packed contraction here
+    # (measured 884 vs 1076 ms/step at N=40960) — XLA fuses the small
+    # per-axis compare+matmul chains better than one wide materialised
+    # one-hot.
     tqb = tkb = tvb = None
     b0 = 0
     nb_band = num_bins
@@ -412,7 +477,6 @@ def stratified_attention(
         tkb = None if tkf is None else tkf[b0:b1]
         tvb = None if tvf is None else tvf[b0:b1]
 
-    @jax.checkpoint
     def tile_body(t_idx):
         t0 = t_idx * tile
         q_t = jax.lax.dynamic_slice_in_dim(qf, t0, tile)          # [T,h,d]
@@ -428,8 +492,8 @@ def stratified_attention(
         pos_b = t0 - band + jnp.arange(w, dtype=jnp.int32)        # [W]
 
         logits_b = jnp.einsum(
-            "thd,whd->thw", q_t, k_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
+            "thd,whd->thw", q_t, k_b, preferred_element_type=jnp.float32,
+            precision=qk_prec)
         in_seg = (pos_b[None, :] >= ss_t[:, None]) & (
             pos_b[None, :] < se_t[:, None]
         )
@@ -437,7 +501,7 @@ def stratified_attention(
 
         # cRPE biases via one-hot matmuls — TPU-friendly (pure MXU work, no
         # gathers; gathers lower to scalar loops on TPU and are ~50x slower).
-        ridx_b = None
+        ohs_b = None
         if use_rpe:
             rel_b = x_t[:, None, :] - x_b[None, :, :]             # [T,W,3]
             ridx_b = relative_position_index(
@@ -445,16 +509,16 @@ def stratified_attention(
             # shift into the band slice (exact for in-window pairs)
             ridx_b = jnp.clip(ridx_b - b0, 0, nb_band - 1)
             bins = jnp.arange(nb_band, dtype=jnp.int32)
+            ohs_b = [(ridx_b[:, :, a, None] == bins).astype(oh_dtype)
+                     for a in range(3)]                           # [T,W,Lb]x3
             for a in range(3):
-                oh = (ridx_b[:, :, a, None] == bins).astype(
-                    jnp.float32)                                  # [T,W,Lb]
                 if tqb is not None:
                     qproj_a = jnp.einsum(
                         "thd,lhd->thl", q_t, tqb[:, :, :, a],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits_b += jnp.einsum(
-                        "thl,twl->thw", qproj_a, oh,
+                        "thl,twl->thw", qproj_a, ohs_b[a],
                         preferred_element_type=jnp.float32,
                         precision=rpe_prec)
                 if tkb is not None:
@@ -463,7 +527,7 @@ def stratified_attention(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                     logits_b += jnp.einsum(
-                        "twl,whl->thw", oh, kproj_a,
+                        "twl,whl->thw", ohs_b[a], kproj_a,
                         preferred_element_type=jnp.float32,
                         precision=rpe_prec)
 
@@ -479,7 +543,7 @@ def stratified_attention(
             sm_t = sm_t & (si_t >= 0) & val_t[:, None]
             logits_s = jnp.einsum(
                 "thd,tshd->ths", q_t, k_s,
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32, precision=qk_prec)
             oh_s = None
             if use_rpe:
                 rel_s = x_t[:, None, :] - x_s                      # [T,S,3]
@@ -487,7 +551,7 @@ def stratified_attention(
                     rel_s, window_size, quant_size, num_bins)
                 bins = jnp.arange(num_bins, dtype=jnp.int32)
                 oh_s = [
-                    (ridx_s[:, :, a, None] == bins).astype(jnp.float32)
+                    (ridx_s[:, :, a, None] == bins).astype(oh_dtype)
                     for a in range(3)
                 ]                                                  # [T,S,L] x3
                 for a in range(3):
@@ -516,33 +580,32 @@ def stratified_attention(
         else:
             mx = jnp.max(logits_b, axis=-1)
 
-        mx = jnp.maximum(mx, NEG_INF)
+        mx = _named(jnp.maximum(mx, NEG_INF), "attn_stat")
         p_b = jnp.where(
             mask_b[:, None, :], jnp.exp(logits_b - mx[:, :, None]), 0.0
         )
+        p_b = _named(p_b, "attn_p")
         denom = jnp.sum(p_b, axis=-1)                              # [T,h]
         out = jnp.einsum(
-            "thw,whd->thd", p_b, v_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
+            "thw,whd->thd", p_b, v_b, preferred_element_type=jnp.float32,
+            precision=qk_prec)
         if tvb is not None:
             # Probability-mass-per-bin trick: out += sum_l mass[t,h,l,a]*Tv[l]
             for a in range(3):
-                oh = jax.nn.one_hot(
-                    ridx_b[:, :, a], nb_band, dtype=jnp.float32)  # [T,W,Lb]
-                mass = jnp.einsum("thw,twl->thl", p_b, oh,
+                mass = jnp.einsum("thw,twl->thl", p_b, ohs_b[a],
                                   precision=rpe_prec)
                 out += jnp.einsum("thl,lhd->thd", mass, tvb[:, :, :, a],
                                   precision=jax.lax.Precision.HIGHEST)
 
         if use_sparse:
-            p_s = jnp.where(
+            p_s = _named(jnp.where(
                 sm_t[:, None, :], jnp.exp(logits_s - mx[:, :, None]), 0.0
-            )
+            ), "attn_p")
             denom += jnp.sum(p_s, axis=-1)
             out += jnp.einsum(
                 "ths,tshd->thd", p_s, v_s,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=qk_prec)
             if tvf is not None:
                 for a in range(3):
                     mass_s = jnp.einsum(
@@ -555,7 +618,7 @@ def stratified_attention(
         return out, mx, denom
 
     acc_t, m_t, den_t = jax.lax.map(
-        tile_body, jnp.arange(nt, dtype=jnp.int32),
+        _remat(tile_body, remat), jnp.arange(nt, dtype=jnp.int32),
         batch_size=min(tile_batch, nt) if tile_batch else None)
     parts = [(acc_t.reshape(n, h, d), m_t.reshape(n, h),
               den_t.reshape(n, h))]
@@ -565,5 +628,6 @@ def stratified_attention(
             table_q=table_q, table_k=table_k, table_v=table_v,
             window_size=window_size, quant_size=quant_size, scale=scale,
             s_band=s_band, tile=tile, tile_batch=tile_batch,
-            rpe_precision=rpe_precision))
+            rpe_precision=rpe_precision, qk_precision=qk_precision,
+            remat=remat))
     return merge_triples(parts)

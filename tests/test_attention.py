@@ -180,3 +180,61 @@ def test_gradients_match_oracle(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
             err_msg=f"grad {name}")
+
+
+def test_production_fast_precision_modes_close(rng):
+    """rpe/qk precision "default" (bf16 MXU passes + bf16 one-hots) must
+    stay within bf16-rounding distance of the fp32-exact path."""
+    xyz, batch, valid, q, k, v = _scene(rng)
+    tq, tk, tv = _tables(rng)
+    n_valid = valid.sum()
+    is_down = (rng.uniform(size=len(valid)) < 0.4) & valid
+
+    def run(**prec):
+        plan = plan_mod.build_attention_plan(
+            jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), WS,
+            shifted=False, is_down=jnp.asarray(is_down), sparse_cap=24)
+        o = plan.order
+        out = attn.stratified_attention(
+            jnp.asarray(q)[o], jnp.asarray(k)[o], jnp.asarray(v)[o],
+            plan.xyz_sorted, plan.seg_start, plan.seg_end,
+            plan.valid_sorted,
+            table_q=jnp.asarray(tq), table_k=jnp.asarray(tk),
+            table_v=jnp.asarray(tv),
+            window_size=WS, quant_size=QUANT, scale=SCALE,
+            band=32, tile=32, sparse_band=plan.sparse_band, **prec)
+        return np.asarray(out[plan.inv_order])
+
+    exact = run()
+    fast = run(rpe_precision="default", qk_precision="default")
+    np.testing.assert_allclose(
+        fast[:n_valid], exact[:n_valid], rtol=0.05, atol=0.05)
+
+
+def test_remat_modes_grad_equivalent(rng):
+    """save_p / none remat must give identical outputs AND gradients."""
+    xyz, batch, valid, q, k, v = _scene(rng, n_valid=60, n_pad=64)
+    tq, tk, tv = _tables(rng)
+    is_down = (rng.uniform(size=len(valid)) < 0.4) & valid
+    plan = plan_mod.build_attention_plan(
+        jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), WS,
+        shifted=False, is_down=jnp.asarray(is_down), sparse_cap=24)
+    o = plan.order
+
+    def loss(args, remat):
+        qq, kk, vv, tqq, tkk, tvv = args
+        out = attn.stratified_attention(
+            qq[o], kk[o], vv[o],
+            plan.xyz_sorted, plan.seg_start, plan.seg_end,
+            plan.valid_sorted,
+            table_q=tqq, table_k=tkk, table_v=tvv,
+            window_size=WS, quant_size=QUANT, scale=SCALE,
+            band=32, tile=32, sparse_band=plan.sparse_band, remat=remat)
+        return jnp.sum(out ** 2)
+
+    args = tuple(jnp.asarray(a) for a in (q, k, v, tq, tk, tv))
+    g_full = jax.grad(lambda a: loss(a, "full"))(args)
+    g_save = jax.grad(lambda a: loss(a, "save_p"))(args)
+    for gf, gs in zip(g_full, g_save):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                                   rtol=1e-5, atol=1e-6)

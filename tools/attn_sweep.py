@@ -18,6 +18,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40960)
     ap.add_argument("--scenes", type=int, default=2)
+    ap.add_argument("--which", default="all")
     args = ap.parse_args()
 
     import jax
@@ -61,10 +62,34 @@ def main():
         print(f"{tag:40s} {t:8.1f} ms  {n / t * 1e3:10,.0f} pts/s  "
               f"loss {float(stats['loss']):.4f}")
 
-    run("reference / highest")
-    run("reference / rpe=default", rpe_precision="default")
-    run("fused / highest", attn_impl="fused")
-    run("fused / rpe=default", attn_impl="fused", rpe_precision="default")
+    which = args.which
+    variants = {
+        "ref-hi": ("reference / highest", {}),
+        "ref-rpe": ("reference / rpe=default",
+                    dict(rpe_precision="default")),
+        "ref-rpeqk": ("reference / rpe+qk=default",
+                      dict(rpe_precision="default",
+                           qk_precision="default")),
+        "ref-bf16": ("reference / rpe+qk=default + bf16 dtype",
+                     dict(rpe_precision="default", qk_precision="default",
+                          compute_dtype="bfloat16")),
+        "tb48": ("rpe+qk=default tile_batch=48",
+                 dict(rpe_precision="default", qk_precision="default",
+                      tile_batch=48)),
+        "tb80": ("rpe+qk=default tile_batch=80",
+                 dict(rpe_precision="default", qk_precision="default",
+                      tile_batch=80)),
+        "savep": ("rpe+qk=default remat=save_p",
+                  dict(rpe_precision="default", qk_precision="default",
+                       attn_remat="save_p")),
+        "fused-hi": ("fused / highest", dict(attn_impl="fused")),
+        "fused-rpeqk": ("fused / rpe+qk=default",
+                        dict(attn_impl="fused", rpe_precision="default",
+                             qk_precision="default")),
+    }
+    for key, (tag, over) in variants.items():
+        if which in ("all", key):
+            run(tag, **over)
 
 
 if __name__ == "__main__":

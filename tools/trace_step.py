@@ -39,7 +39,8 @@ def main():
     n, B = args.n, args.scenes
     cfg = StratifiedConfig(
         num_classes=13, in_channels=6, n_pad=n, num_scenes=B,
-        band=128, tile=128, sparse_cap=48, sampler="grid")
+        band=128, tile=128, sparse_cap=48, sampler="grid",
+        rpe_precision="default", qk_precision="default")
     model = Stratified(cfg)
     b = _example_batch(n, B, 6, seed=0)
     batch = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,

@@ -77,6 +77,9 @@ def build_model_config(cfg, n_devices):
         w_chunk=int(cfg.get("w_chunk", 128)),
         compute_dtype=cfg.get("compute_dtype"),
         rpe_precision=str(cfg.get("rpe_precision", "highest")),
+        qk_precision=str(cfg.get("qk_precision", "highest")),
+        tile_batch=int(cfg.get("tile_batch", 16)),
+        attn_remat=str(cfg.get("attn_remat", "full")),
     )
 
 
