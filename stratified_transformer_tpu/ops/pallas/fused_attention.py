@@ -71,7 +71,10 @@ def _band_kernel(
     quant_size,
     use_rpe,
     use_rel_value,
+    fast,
 ):
+    mm_prec = (jax.lax.Precision.DEFAULT if fast
+               else jax.lax.Precision.HIGHEST)
     t_idx = pl.program_id(0)
     t0 = t_idx * tile
     w = tile + 2 * band
@@ -94,6 +97,23 @@ def _band_kernel(
     val_t = x_t[:, 3:4]                             # [T,1]
 
     n_chunks = w // w_chunk
+    xq = max(w_chunk, num_bins)   # gather width, query side
+
+    # q-side table projections depend only on the query tile — hoist out
+    # of the chunk loop (was recomputed per chunk: 6x the dot count).
+    qprojs = []                   # [h][a] -> [T, xq] padded
+    if use_rpe:
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            q_h = q_ref[:, sl]
+            row = []
+            for a in range(3):
+                qp = jax.lax.dot_general(
+                    q_h, tq_ref[a][:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec)      # [T,L2]
+                row.append(jnp.pad(qp, ((0, 0), (0, xq - num_bins))))
+            qprojs.append(row)
 
     def chunk_body(c, carry):
         m_run, den_run, acc_run, mass_run = carry
@@ -113,7 +133,6 @@ def _band_kernel(
         ridxs = []            # [T,Wc] per axis
         ridxs_tp = []         # [Wc,Xk] per axis (transposed, padded)
         onehots_tp = []       # [T,L2,Wc] per axis (bins-major one-hot)
-        xq = max(w_chunk, num_bins)   # gather width, query side
         xk = max(tile, num_bins)      # gather width, key side
         if use_rpe:
             bins_t = jax.lax.broadcasted_iota(
@@ -146,28 +165,21 @@ def _band_kernel(
             logits = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [T,Wc]
+                precision=mm_prec)  # [T,Wc]
 
             if use_rpe:
                 for a in range(3):
                     # q-side bias: lane gather qproj[t, ridx[t,w]] (Mosaic
                     # supports same-shape take_along_axis on 2D operands)
-                    qproj = jax.lax.dot_general(
-                        q_h, tq_ref[a][:, sl],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)   # [T,L2]
-                    qproj = jnp.pad(
-                        qproj, ((0, 0), (0, xq - num_bins)))
                     logits += jnp.take_along_axis(
-                        qproj, ridxs[a], axis=1)[:, :w_chunk]
+                        qprojs[i][a], ridxs[a], axis=1)[:, :w_chunk]
                     # k-side bias: kproj[w, ridx[t,w]] via the transposed
                     # index layout
                     kproj = jax.lax.dot_general(
                         k_h, tk_ref[a][:, sl],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)   # [Wc,L2]
+                        precision=mm_prec)   # [Wc,L2]
                     kproj = jnp.pad(
                         kproj, ((0, 0), (0, xk - num_bins)))
                     bk = jnp.take_along_axis(
@@ -183,9 +195,9 @@ def _band_kernel(
             den_new = den_run[:, i:i + 1] * rescale + jnp.sum(
                 p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                p, vc[:, sl], (((1,), (0,)), ((), ())),
+                p.astype(vc.dtype), vc[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)           # [T,d]
+                precision=mm_prec)           # [T,d]
             acc_new = acc_run[:, sl] * rescale + pv
 
             m_parts.append(m_new)
@@ -227,10 +239,10 @@ def _band_kernel(
                 mass_ha = mass_f[:, (i * 3 + a) * num_bins:
                                  (i * 3 + a + 1) * num_bins]  # [T,L2]
                 acc_h = acc_h + jax.lax.dot_general(
-                    mass_ha, tv_ref[a][:, sl],
+                    mass_ha.astype(tv_ref.dtype), tv_ref[a][:, sl],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                    precision=mm_prec)
             outs.append(acc_h)
         acc_f = jnp.concatenate(outs, axis=1)
 
@@ -244,7 +256,7 @@ def band_attention(
     table_q=None, table_k=None, table_v=None,
     *,
     window_size, quant_size, scale, band, tile=128, w_chunk=64,
-    interpret=False,
+    interpret=False, fast=False,
 ):
     """Dense band half of the stratified attention.
 
@@ -278,12 +290,14 @@ def band_attention(
 
     hd = h * d
     hd_pad = ((hd + 127) // 128) * 128
-    qf = (jnp.asarray(q, jnp.float32) * scale).reshape(n, hd)
+    cdt = jnp.bfloat16 if fast else jnp.float32
+    # q is pre-scaled in fp32, then staged at the compute dtype
+    qf = (jnp.asarray(q, jnp.float32) * scale).reshape(n, hd).astype(cdt)
     # Manually-DMA'd (ANY-space) buffers need 128-multiple lane dims —
     # Mosaic cannot memref_slice partially-padded lane tiles.
-    kx = jnp.pad(jnp.asarray(k, jnp.float32).reshape(n, hd),
+    kx = jnp.pad(jnp.asarray(k, cdt).reshape(n, hd),
                  ((band, band), (0, hd_pad - hd)))
-    vx = jnp.pad(jnp.asarray(v, jnp.float32).reshape(n, hd),
+    vx = jnp.pad(jnp.asarray(v, cdt).reshape(n, hd),
                  ((band, band), (0, hd_pad - hd)))
     xx = jnp.concatenate([
         jnp.asarray(xyz, jnp.float32),
@@ -295,10 +309,10 @@ def band_attention(
 
     def pack(t):
         # [L2,h,d,3] -> [3, nb, h*d] (band slice of the table rows)
-        tt = jnp.asarray(t, jnp.float32)[bin_lo:bin_lo + num_bins]
+        tt = jnp.asarray(t, cdt)[bin_lo:bin_lo + num_bins]
         return jnp.transpose(tt, (3, 0, 1, 2)).reshape(3, num_bins, h * d)
 
-    dummy = jnp.zeros((1, 1, 1), jnp.float32)
+    dummy = jnp.zeros((1, 1, 1), cdt)
     tq = pack(table_q) if use_rpe else dummy
     tk = pack(table_k) if use_rpe else dummy
     tv = pack(table_v) if use_rel_value else dummy
@@ -308,7 +322,7 @@ def band_attention(
         num_heads=h, head_dim=d, num_bins=num_bins, bin_lo=bin_lo,
         num_bins_full=num_bins_full,
         window_size=float(window_size), quant_size=float(quant_size),
-        use_rpe=use_rpe, use_rel_value=use_rel_value,
+        use_rpe=use_rpe, use_rel_value=use_rel_value, fast=fast,
     )
 
     vmem = pltpu.VMEM
@@ -333,8 +347,8 @@ def band_attention(
             pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=vmem),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w, hd_pad), jnp.float32),
-            pltpu.VMEM((w, hd_pad), jnp.float32),
+            pltpu.VMEM((w, hd_pad), cdt),
+            pltpu.VMEM((w, hd_pad), cdt),
             pltpu.VMEM((w, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
