@@ -131,6 +131,7 @@ class TransitionDown(nn.Module):
     knn_method: str = "brute"     # "brute" | "grid" (cell-list fast path)
     knn_cell: float = 0.0         # cell-list cell size (grid method)
     knn_cap: int = 32             # cell-list capacity per cell
+    knn_chunk: Optional[int] = 4096  # query chunk (VMEM-resident tiles)
 
     @nn.compact
     def __call__(self, feats, xyz, offsets):
@@ -163,7 +164,7 @@ class TransitionDown(nn.Module):
             nidx, _, nmask = neighbors.grid_knn(
                 n_xyz, out_batch, xyz, batch, valid, self.k,
                 cell=self.knn_cell, cap=self.knn_cap,
-                query_valid=out_valid)
+                query_valid=out_valid, chunk=self.knn_chunk)
         else:
             nidx, _, nmask = neighbors.knn(
                 n_xyz, out_batch, xyz, batch, valid, self.k,
@@ -182,6 +183,7 @@ class Upsample(nn.Module):
     knn_method: str = "brute"     # "brute" | "grid" (cell-list fast path)
     knn_cell: float = 0.0
     knn_cap: int = 32
+    knn_chunk: Optional[int] = 4096
 
     @nn.compact
     def __call__(
@@ -200,6 +202,7 @@ class Upsample(nn.Module):
             lifted,
             query_valid=sampling.offsets_to_valid(skip_offsets, n_fine),
             method=self.knn_method, cell=self.knn_cell, cap=self.knn_cap,
+            grid_chunk=self.knn_chunk,
         )
         out = dense(self.out_channels, name="linear1")(
             nn.LayerNorm(name="norm1")(skip_feats)) + interp

@@ -81,6 +81,7 @@ class StratifiedConfig:
     knn_chunk: int = 1024
     neighbor_method: str = "grid"             # "grid" cell-list | "brute"
     neighbor_cap: int = 32                    # cell-list per-cell capacity
+    grid_knn_chunk: int | None = 4096         # cell-list query chunk
     bn_axis_name: str | None = None           # SyncBN psum axis (DP mesh)
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
     w_chunk: int = 128
@@ -223,7 +224,7 @@ class Stratified(nn.Module):
         nidx, nmask = neighbors.radius_neighbors(
             xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
             chunk=cfg.knn_chunk, method=cfg.neighbor_method,
-            cap=cfg.neighbor_cap)
+            cap=cfg.neighbor_cap, grid_chunk=cfg.grid_knn_chunk)
         feats = KPConvSimpleBlock(
             cfg.channels[0], cfg.grid_size * cfg.sigma,
             bn_axis_name=cfg.bn_axis_name, name="stem_0",
@@ -253,6 +254,7 @@ class Stratified(nn.Module):
                 knn_method=cfg.neighbor_method,
                 knn_cell=cfg.grid_sizes()[0] * 3.0,
                 knn_cap=cfg.neighbor_cap,
+                knn_chunk=cfg.grid_knn_chunk,
             )(feats, xyz, offsets)
             cap_i = 1
 
@@ -274,6 +276,7 @@ class Stratified(nn.Module):
                     knn_method=cfg.neighbor_method,
                     knn_cell=cfg.grid_sizes()[i] * 3.0,
                     knn_cap=cfg.neighbor_cap,
+                    knn_chunk=cfg.grid_knn_chunk,
                 )(feats, xyz, offsets)
 
         feats = feats_stack.pop()
@@ -291,6 +294,7 @@ class Stratified(nn.Module):
                 knn_method=cfg.neighbor_method,
                 knn_cell=fine_grid * 6.0,
                 knn_cap=cfg.neighbor_cap,
+                knn_chunk=cfg.grid_knn_chunk,
             )(feats, xyz, offsets,
               feats_stack.pop(), xyz_stack.pop(), off_stack.pop())
             up_idx += 1

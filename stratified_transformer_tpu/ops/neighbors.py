@@ -117,6 +117,7 @@ def grid_knn(
     radius=None,
     query_valid=None,
     chunk=None,
+    selector="exact",
 ):
     """Cell-list k-nearest-neighbors (the TPU-native fast path).
 
@@ -221,8 +222,15 @@ def grid_knn(
         if radius is not None:
             d2 = jnp.where(d2 <= jnp.float32(radius) ** 2, d2, BIG)
         kk = min(k, d2.shape[1])
-        neg_d, pos = jax.lax.top_k(-d2, kk)
-        dist = -neg_d
+        if selector == "approx":
+            # TPU-native partial-reduce top-k (lax.approx_min_k): may miss
+            # a few of the true nearest when >k candidates are in range —
+            # matches ball_query semantics, which return an *arbitrary*
+            # <=k subset of the ball (torch_points_kernels, train.py:324).
+            dist, pos = jax.lax.approx_min_k(d2, kk)
+        else:
+            neg_d, pos = jax.lax.top_k(-d2, kk)
+            dist = -neg_d
         idx = jnp.take_along_axis(cand, pos, axis=1)
         mask = dist < BIG
         if kk < k:                                            # degenerate cap
@@ -272,6 +280,7 @@ def radius_neighbors(
     cap=32,
     rings=1,
     grid_chunk=None,
+    selector="exact",
 ):
     """Up-to-``k`` neighbors within ``radius`` (nearest-first).
 
@@ -290,7 +299,7 @@ def radius_neighbors(
             query_xyz, query_batch, ref_xyz, ref_batch, ref_valid, k,
             cell=float(radius) if cell is None else cell, cap=cap,
             rings=rings, radius=radius, query_valid=query_valid,
-            chunk=grid_chunk,
+            chunk=grid_chunk, selector=selector,
         )
         return idx, mask
     idx, dist, mask = knn(
