@@ -85,7 +85,11 @@ class StratifiedConfig:
     bn_axis_name: str | None = None           # SyncBN psum axis (DP mesh)
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
     w_chunk: int = 128
-    s_band: int = 256                         # sparse-band width per tile
+    # Sparse-band aux window per query tile. A tile's far-key segments span
+    # max(ke)-min(ks) aux slots; measured max 37 at the stage-0 operating
+    # point (grid-pool 1/8 downsampling bounds keys/large-window to
+    # ~(2w/cell)^3 ~= 22) — 128 keeps >3x margin at half the cost of 256.
+    s_band: int = 128
     pallas_interpret: bool = False
     compute_dtype: str | None = None          # e.g. "bfloat16" (AMP analogue)
     rpe_precision: str = "highest"            # "default" = bf16 cRPE matmuls
