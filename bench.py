@@ -39,9 +39,15 @@ def main():
         rpe_precision="default", qk_precision="default")
     model = Stratified(cfg)
 
+    from stratified_transformer_tpu.data.collate import with_stem_neighbors
     b = _example_batch(n_pad, num_scenes, cfg.in_channels)
+    # stem ball-query on the host (prefetched by the train loader in
+    # production — train.py overlaps it with the device step)
+    b = with_stem_neighbors(
+        b, radius=2.5 * cfg.grid_size * cfg.sigma, k=cfg.max_num_neighbors)
     batch = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,
-             "labels": b.labels}
+             "labels": b.labels, "stem_nidx": b.stem_nidx,
+             "stem_nmask": b.stem_nmask}
 
     schedule = multi_step(0.006, [60, 80], 0.1)
     state = create_train_state(

@@ -29,6 +29,8 @@ class PaddedBatch(NamedTuple):
     labels: np.ndarray
     offsets: np.ndarray
     target_shift: Optional[np.ndarray] = None
+    stem_nidx: Optional[np.ndarray] = None
+    stem_nmask: Optional[np.ndarray] = None
 
 
 def mix3d_pairs(scenes, rng=None):
@@ -107,3 +109,30 @@ def collate_scenes(
     return PaddedBatch(
         xyz=xyz, feats=feats, labels=labels, offsets=offsets,
         target_shift=shift)
+
+
+def with_stem_neighbors(batch: PaddedBatch, radius: float, k: int):
+    """Attach host-computed KPConv-stem radius neighbors to a batch.
+
+    Mirrors the reference's CPU ball_query inside the train loop
+    (``train.py:324-329``, ``radius = 2.5 * grid_size * sigma``,
+    ``K = max_num_neighbors``), keeping the query off the device critical
+    path. Uses the C++ grid-hash query (``cpp/ingest.cpp``) with a numpy
+    fallback. Empty slots fall back to the point's own index (mask False),
+    matching the device path's gather-safe convention.
+    """
+    from stratified_transformer_tpu.data import native
+
+    n_pad = len(batch.xyz)
+    total = int(batch.offsets[-1])
+    idx = np.zeros((n_pad, k), np.int32)
+    mask = np.zeros((n_pad, k), bool)
+    if total > 0:
+        raw = native.radius_neighbors(
+            batch.xyz[:total], np.asarray(batch.offsets, np.int64),
+            float(radius), int(k))
+        ok = raw >= 0
+        own = np.arange(total, dtype=np.int32)[:, None]
+        idx[:total] = np.where(ok, raw, own)
+        mask[:total] = ok
+    return batch._replace(stem_nidx=idx, stem_nmask=mask)

@@ -81,6 +81,8 @@ class WindowAttention(nn.Module):
                 scale=scale, band=self.band, tile=self.tile,
                 w_chunk=self.w_chunk, interpret=self.interpret,
                 s_band=self.s_band,
+                rpe_precision=self.rpe_precision,
+                qk_precision=self.qk_precision, remat=self.remat,
             )
         else:
             out_sorted = attn_ops.stratified_attention(

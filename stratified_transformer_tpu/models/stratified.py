@@ -207,8 +207,16 @@ class Stratified(nn.Module):
     cfg: StratifiedConfig
 
     @nn.compact
-    def __call__(self, feats, xyz, offsets, *, training: bool = False):
+    def __call__(self, feats, xyz, offsets, *, training: bool = False,
+                 stem_nidx=None, stem_nmask=None):
         """feats ``[N_pad, C_in]``, xyz ``[N_pad, 3]``, offsets ``[B]``.
+
+        ``stem_nidx``/``stem_nmask`` (``[N_pad, K]``): optional HOST-computed
+        radius neighbors for the KPConv stem — the reference computes
+        ball_query on CPU inside the train loop (``train.py:324-329``), so
+        the input pipeline can supply them prefetched and off the device
+        critical path (`data.collate.with_stem_neighbors`). When absent they
+        are computed on-device (whole-scene inference path).
 
         Returns ``(logits [N_pad, num_classes], shift [N_pad, 3] | None)``.
         """
@@ -222,13 +230,17 @@ class Stratified(nn.Module):
         batch = sampling.offsets_to_batch(offsets, n)
         valid = sampling.offsets_to_valid(offsets, n)
 
-        # --- KPConv stem (radius neighbors on-device; the reference computes
-        # ball_query on CPU inside the train loop, train.py:324-329) ---
-        radius = 2.5 * cfg.grid_size * cfg.sigma
-        nidx, nmask = neighbors.radius_neighbors(
-            xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
-            chunk=cfg.knn_chunk, method=cfg.neighbor_method,
-            cap=cfg.neighbor_cap, grid_chunk=cfg.grid_knn_chunk)
+        # --- KPConv stem neighbors: host-supplied (prefetched, like the
+        # reference's CPU ball_query, train.py:324-329) or on-device ---
+        if stem_nidx is not None:
+            nidx = jnp.asarray(stem_nidx, jnp.int32)
+            nmask = jnp.asarray(stem_nmask)
+        else:
+            radius = 2.5 * cfg.grid_size * cfg.sigma
+            nidx, nmask = neighbors.radius_neighbors(
+                xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
+                chunk=cfg.knn_chunk, method=cfg.neighbor_method,
+                cap=cfg.neighbor_cap, grid_chunk=cfg.grid_knn_chunk)
         feats = KPConvSimpleBlock(
             cfg.channels[0], cfg.grid_size * cfg.sigma,
             bn_axis_name=cfg.bn_axis_name, name="stem_0",

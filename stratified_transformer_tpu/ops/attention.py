@@ -285,8 +285,12 @@ def sparse_band_triple(
         ke_t = jax.lax.dynamic_slice_in_dim(sb.sb_end, t0, tile)
 
         # key segments advance monotonically in lw order: one contiguous
-        # aux window covers the whole tile
-        base = jnp.minimum(ks_t[0], a_sz - ws_band)
+        # aux window covers the whole tile. The base is 16-aligned to match
+        # the Pallas kernel exactly (Mosaic requires aligned dynamic DMA
+        # offsets): both paths then truncate identical overflow keys when a
+        # tile's span exceeds s_band (capacity capping; see
+        # `tools/sparse_bench.py --spans` for the operating-point stats).
+        base = (jnp.minimum(ks_t[0], a_sz - ws_band) // 16) * 16
         k_b = jax.lax.dynamic_slice_in_dim(k_aux, base, ws_band)  # [S,h,d]
         v_b = jax.lax.dynamic_slice_in_dim(v_aux, base, ws_band)
         x_b = jax.lax.dynamic_slice_in_dim(x_aux, base, ws_band)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from stratified_transformer_tpu.ops import attention as jnp_attn
 from stratified_transformer_tpu.ops.pallas.fused_attention import (
     band_attention,
+    sparse_band_attention,
 )
 
 NEG_INF = jnp.float32(-1e30)
@@ -126,7 +127,8 @@ def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,
 
 
 def _merge(parts):
-    """Compose online-softmax triples: [(acc, m, den), ...] -> normalised."""
+    """Compose online-softmax triples: [(acc, m, den), ...] ->
+    ``(normalised out, merged m, merged den)``."""
     m = functools.reduce(jnp.maximum, [p[1] for p in parts])
     m = jnp.maximum(m, NEG_INF)
     acc = 0.0
@@ -135,25 +137,27 @@ def _merge(parts):
         s = jnp.exp(mi - m)
         acc = acc + a * s[:, :, None]
         den = den + di * s
-    den = jnp.maximum(den, 1e-20)
-    return acc / den[:, :, None]
+    dsafe = jnp.maximum(den, 1e-20)
+    return acc / dsafe[:, :, None], m, den
 
 
 def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
               sparse_mask, table_q, table_k, table_v, *, window_size,
               quant_size, scale, band, tile, w_chunk, interpret,
-              sparse_band=None, s_band=256):
+              sparse_band=None, s_band=256, fast=False):
     parts = [band_attention(
         q, k, v, xyz, seg_start, seg_end, valid,
         table_q, table_k, table_v,
         window_size=window_size, quant_size=quant_size, scale=scale,
-        band=band, tile=tile, w_chunk=w_chunk, interpret=interpret)]
+        band=band, tile=tile, w_chunk=w_chunk, interpret=interpret,
+        fast=fast)]
     if sparse_band is not None:
-        parts.append(jnp_attn.sparse_band_triple(
-            q, k, v, xyz, sparse_band,
+        parts.append(sparse_band_attention(
+            q, k, v, sparse_band,
             table_q=table_q, table_k=table_k, table_v=table_v,
             window_size=window_size, quant_size=quant_size, scale=scale,
-            s_band=s_band, tile=tile))
+            s_band=s_band, tile=tile, w_chunk=min(w_chunk, s_band),
+            interpret=interpret, fast=fast))
     elif sparse_idx is not None:
         parts.append(_sparse_half(
             q, k, v, xyz, valid, sparse_idx, sparse_mask,
@@ -168,33 +172,73 @@ def stratified_attention_fused(
     table_q=None, table_k=None, table_v=None,
     *, window_size, quant_size, scale, band, tile=128, w_chunk=64,
     interpret=False, sparse_band=None, s_band=256,
+    rpe_precision="highest", qk_precision="highest", remat="full",
 ):
     """Drop-in fused (Pallas) variant of
-    ``ops.attention.stratified_attention``."""
+    ``ops.attention.stratified_attention``.
 
+    ``qk_precision``/``rpe_precision`` "default" selects bf16 MXU passes in
+    the Pallas forward (``fast`` mode) and in the jnp backward recompute.
+    """
+    fast = qk_precision == "default" and rpe_precision == "default"
     kw = dict(window_size=window_size, quant_size=quant_size, scale=scale,
               band=band, tile=tile)
+    # The Pallas backward re-composes per-tile dk/dv band buffers as
+    # shifted diagonals, which needs band % tile == 0; it also only covers
+    # the band(+sparse_band) layouts.
+    pallas_bwd = (band % tile == 0) and sparse_idx is None
 
     def reference(q, k, v, tq, tk, tv):
         return jnp_attn.stratified_attention(
             q, k, v, xyz, seg_start, seg_end, valid,
             sparse_idx=sparse_idx, sparse_mask=sparse_mask,
             table_q=tq, table_k=tk, table_v=tv,
-            sparse_band=sparse_band, s_band=s_band, **kw)
+            sparse_band=sparse_band, s_band=s_band,
+            rpe_precision=rpe_precision, qk_precision=qk_precision,
+            remat=remat, **kw)
 
     @jax.custom_vjp
     def f(q, k, v, tq, tk, tv):
-        return _fwd_impl(
+        out, _, _ = _fwd_impl(
             q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
             sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
-            interpret=interpret, sparse_band=sparse_band, s_band=s_band)
+            interpret=interpret, sparse_band=sparse_band, s_band=s_band,
+            fast=fast)
+        return out
 
     def f_fwd(q, k, v, tq, tk, tv):
-        return f(q, k, v, tq, tk, tv), (q, k, v, tq, tk, tv)
+        out, m, den = _fwd_impl(
+            q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
+            sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
+            interpret=interpret, sparse_band=sparse_band, s_band=s_band,
+            fast=fast)
+        res = ((q, k, v, tq, tk, tv, m, den, out) if pallas_bwd
+               else (q, k, v, tq, tk, tv))
+        return out, res
 
     def f_bwd(res, g):
-        _, vjp = jax.vjp(reference, *res)
-        return vjp(g)
+        if not pallas_bwd:
+            _, vjp = jax.vjp(reference, *res)
+            return vjp(g)
+        from stratified_transformer_tpu.ops.pallas.fused_attention_bwd \
+            import band_attention_bwd, sparse_band_attention_bwd
+
+        q, k, v, tq, tk, tv, m, den, out = res
+        grads = band_attention_bwd(
+            q, k, v, xyz, seg_start, seg_end, valid, g, out, m, den,
+            tq, tk, tv, **kw, w_chunk=w_chunk, interpret=interpret,
+            fast=fast)
+        if sparse_band is not None:
+            sgrads = sparse_band_attention_bwd(
+                q, k, v, sparse_band, g, out, m, den, tq, tk, tv,
+                window_size=window_size, quant_size=quant_size,
+                scale=scale, s_band=s_band, tile=tile,
+                w_chunk=min(w_chunk, s_band), interpret=interpret,
+                fast=fast)
+            grads = tuple(
+                a if b is None else (b if a is None else a + b)
+                for a, b in zip(grads, sgrads))
+        return grads
 
     f.defvjp(f_fwd, f_bwd)
     dummy = None

@@ -96,7 +96,18 @@ def _band_kernel(
     x_t = xb_ref[pl.ds(band, tile)]                 # [T,128]
     val_t = x_t[:, 3:4]                             # [T,1]
 
+    # Dynamic chunk bounds: only key chunks intersecting the union of the
+    # tile's (valid) segments do any work. Typical window length << band,
+    # so this skips ~40-60% of the band — the band width is sized for the
+    # worst-case window, not the average one.
     n_chunks = w // w_chunk
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    ssv = jnp.where(val_t > 0, ss, big)
+    sev = jnp.where(val_t > 0, se, 0)
+    lo = jnp.min(ssv) - (t0 - band)                 # band-buffer-relative
+    hi = jnp.max(sev) - (t0 - band)
+    c_start = jnp.clip(lo // w_chunk, 0, n_chunks)
+    c_end = jnp.clip((hi + w_chunk - 1) // w_chunk, c_start, n_chunks)
     xq = max(w_chunk, num_bins)   # gather width, query side
 
     # q-side table projections depend only on the query tile — hoist out
@@ -228,7 +239,7 @@ def _band_kernel(
              else jnp.zeros((tile, 1), jnp.float32))
 
     m_f, den_f, acc_f, mass_f = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (m0, den0, acc0, mass0))
+        c_start, c_end, chunk_body, (m0, den0, acc0, mass0))
 
     if use_rpe and use_rel_value:
         outs = []
@@ -249,6 +260,378 @@ def _band_kernel(
     acc_ref[:] = acc_f
     m_ref[:] = m_f
     den_ref[:] = den_f
+
+
+def _sparse_kernel(
+    # scalar prefetch
+    bases_ref,    # [nt] int32 — aux slice base per query tile (SMEM)
+    # inputs
+    q_ref,        # [T, h*d] VMEM (pre-scaled, lw-sorted)
+    ks_ref,       # [T, 1] int32 aux segment start
+    ke_ref,       # [T, 1] int32 aux segment end
+    skq_ref,      # [T, 1] int32 query small-window key
+    xq_ref,       # [T, 128] f32 — query xyz cols 0..2, valid col 3
+    kx_ref,       # [A, hd_pad]  (ANY)
+    vx_ref,       # [A, hd_pad]  (ANY)
+    xx_ref,       # [A, 128]     (ANY; member xyz cols 0..2, valid col 3)
+    skx_ref,      # [A, 128]     (ANY int32; member small-window key col 0)
+    tq_ref,       # [3, L2, h*d] VMEM (or [1,1,1] dummy)
+    tk_ref,
+    tv_ref,
+    # outputs
+    acc_ref,      # [T, h*d]
+    m_ref,        # [T, h]
+    den_ref,      # [T, h]
+    # scratch
+    kb_ref,       # [S, hd_pad]
+    vb_ref,       # [S, hd_pad]
+    xb_ref,       # [S, 128]
+    skb_ref,      # [S, 128] int32
+    sem,
+    *,
+    tile,
+    s_band,
+    w_chunk,
+    num_heads,
+    head_dim,
+    num_bins,
+    window_size,
+    quant_size,
+    use_rpe,
+    use_rel_value,
+    fast,
+):
+    """Stratified far-key half over the `SparseBandLayout` aux arrays.
+
+    Identical flash-attention structure to `_band_kernel`, except:
+      * the key slice base is *dynamic* — ``bases[t] = min(sb_start[t*T],
+        A - S)`` (key segments advance monotonically in lw order, so one
+        contiguous aux window covers the whole query tile);
+      * the mask is the aux segment ``[ks, ke)`` per query plus the
+        "not in my small window" exclusion (reference ``mask_mat_prev``,
+        ``model/stratified_transformer.py:28-35``);
+      * cRPE bins span the full ±2·window range (no band slicing).
+    """
+    mm_prec = (jax.lax.Precision.DEFAULT if fast
+               else jax.lax.Precision.HIGHEST)
+    t_idx = pl.program_id(0)
+    base = bases_ref[t_idx]
+    h, d = num_heads, head_dim
+
+    cps = [
+        pltpu.make_async_copy(
+            kx_ref.at[pl.ds(base, s_band)], kb_ref, sem.at[0]),
+        pltpu.make_async_copy(
+            vx_ref.at[pl.ds(base, s_band)], vb_ref, sem.at[1]),
+        pltpu.make_async_copy(
+            xx_ref.at[pl.ds(base, s_band)], xb_ref, sem.at[2]),
+        pltpu.make_async_copy(
+            skx_ref.at[pl.ds(base, s_band)], skb_ref, sem.at[3]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    ks = ks_ref[:]
+    ke = ke_ref[:]
+    skq = skq_ref[:]                                 # [T,1]
+    x_t = xq_ref[:]                                  # [T,128]
+    val_t = x_t[:, 3:4]                              # [T,1]
+
+    # Dynamic chunk bounds over the union of (valid) aux segments — the
+    # typical tile span is far below s_band (sized for the worst case).
+    n_chunks = s_band // w_chunk
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    ksv = jnp.where(val_t > 0, ks, big)
+    kev = jnp.where(val_t > 0, ke, 0)
+    lo = jnp.min(ksv) - base
+    hi = jnp.max(kev) - base
+    c_start = jnp.clip(lo // w_chunk, 0, n_chunks)
+    c_end = jnp.clip((hi + w_chunk - 1) // w_chunk, c_start, n_chunks)
+    xq = max(w_chunk, num_bins)   # gather width, query side
+
+    qprojs = []                   # [h][a] -> [T, xq] padded
+    if use_rpe:
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            q_h = q_ref[:, sl]
+            row = []
+            for a in range(3):
+                qp = jax.lax.dot_general(
+                    q_h, tq_ref[a][:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec)      # [T,L2]
+                row.append(jnp.pad(qp, ((0, 0), (0, xq - num_bins))))
+            qprojs.append(row)
+
+    def chunk_body(c, carry):
+        m_run, den_run, acc_run, mass_run = carry
+        c0 = c * w_chunk
+        kc = kb_ref[pl.ds(c0, w_chunk)]             # [Wc, hd_pad]
+        vc = vb_ref[pl.ds(c0, w_chunk)]
+        xc = xb_ref[pl.ds(c0, w_chunk)]             # [Wc, 128]
+        skc = skb_ref[pl.ds(c0, w_chunk)]           # [Wc, 128] int32
+        vmc = xc[:, 3:4]                            # [Wc, 1]
+        sk_b = jnp.transpose(skc[:, 0:1], (1, 0))   # [1, Wc]
+
+        pos = (base + c0 + jax.lax.broadcasted_iota(
+            jnp.int32, (1, w_chunk), 1))            # [1,Wc]
+        in_seg = (pos >= ks) & (pos < ke)           # [T,Wc]
+        not_same = sk_b != skq                      # [T,Wc]
+        mask = in_seg & not_same & (val_t > 0) & (
+            jnp.transpose(vmc, (1, 0)) > 0)         # [T,Wc]
+        maskf = mask.astype(jnp.float32)
+
+        ridxs = []            # [T,Wc] per axis (padded to xq)
+        ridxs_tp = []         # [Wc,Xk] per axis (transposed, padded)
+        onehots_tp = []       # [T,L2,Wc] per axis (bins-major one-hot)
+        xk = max(tile, num_bins)      # gather width, key side
+        if use_rpe:
+            bins_t = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, num_bins, w_chunk), 1)
+            for a in range(3):
+                rel_a = x_t[:, a:a + 1] - jnp.transpose(
+                    xc[:, a:a + 1], (1, 0))          # [T,Wc]
+                rel_a = jnp.round(rel_a * 1e5) / 1e5
+                ridx_a = jnp.floor(
+                    (rel_a + 2.0 * window_size - 1e-4) / quant_size)
+                ridx_a = jnp.clip(ridx_a, 0, num_bins - 1).astype(jnp.int32)
+                ridxs.append(
+                    jnp.pad(ridx_a, ((0, 0), (0, xq - w_chunk))))
+                ridxs_tp.append(jnp.pad(
+                    jnp.transpose(ridx_a, (1, 0)),
+                    ((0, 0), (0, xk - tile))))
+                if use_rel_value:
+                    onehots_tp.append(
+                        (ridx_a[:, None, :] == bins_t).astype(jnp.float32))
+
+        m_parts, den_parts, acc_parts = [], [], []
+        mass_parts = []
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            q_h = q_ref[:, sl]                       # [T,d]
+            k_h = kc[:, sl]                          # [Wc,d]
+            logits = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec)  # [T,Wc]
+
+            if use_rpe:
+                for a in range(3):
+                    logits += jnp.take_along_axis(
+                        qprojs[i][a], ridxs[a], axis=1)[:, :w_chunk]
+                    kproj = jax.lax.dot_general(
+                        k_h, tk_ref[a][:, sl],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=mm_prec)   # [Wc,L2]
+                    kproj = jnp.pad(
+                        kproj, ((0, 0), (0, xk - num_bins)))
+                    bk = jnp.take_along_axis(
+                        kproj, ridxs_tp[a], axis=1)[:, :tile]  # [Wc,T]
+                    logits += jnp.transpose(bk, (1, 0))
+
+            logits = jnp.where(mask, logits, NEG_INF)
+            m_prev = m_run[:, i:i + 1]                        # [T,1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=-1, keepdims=True))
+            rescale = jnp.exp(m_prev - m_new)                 # [T,1]
+            p = jnp.exp(logits - m_new) * maskf               # [T,Wc]
+            den_new = den_run[:, i:i + 1] * rescale + jnp.sum(
+                p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vc.dtype), vc[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec)           # [T,d]
+            acc_new = acc_run[:, sl] * rescale + pv
+
+            m_parts.append(m_new)
+            den_parts.append(den_new)
+            acc_parts.append(acc_new)
+            if use_rpe and use_rel_value:
+                for a in range(3):
+                    pm = jnp.sum(
+                        onehots_tp[a] * p[:, None, :], axis=-1)  # [T,L2]
+                    mass_parts.append(
+                        mass_run[:, (i * 3 + a) * num_bins:
+                                 (i * 3 + a + 1) * num_bins] * rescale + pm)
+
+        m_run = jnp.concatenate(m_parts, axis=1)
+        den_run = jnp.concatenate(den_parts, axis=1)
+        acc_run = jnp.concatenate(acc_parts, axis=1)
+        if use_rpe and use_rel_value:
+            mass_run = jnp.concatenate(mass_parts, axis=1)
+        return (m_run, den_run, acc_run, mass_run)
+
+    m0 = jnp.full((tile, h), NEG_INF, jnp.float32)
+    den0 = jnp.zeros((tile, h), jnp.float32)
+    acc0 = jnp.zeros((tile, h * d), jnp.float32)
+    mass0 = (jnp.zeros((tile, h * 3 * num_bins), jnp.float32)
+             if use_rpe and use_rel_value
+             else jnp.zeros((tile, 1), jnp.float32))
+
+    m_f, den_f, acc_f, mass_f = jax.lax.fori_loop(
+        c_start, c_end, chunk_body, (m0, den0, acc0, mass0))
+
+    if use_rpe and use_rel_value:
+        outs = []
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            acc_h = acc_f[:, sl]
+            for a in range(3):
+                mass_ha = mass_f[:, (i * 3 + a) * num_bins:
+                                 (i * 3 + a + 1) * num_bins]  # [T,L2]
+                acc_h = acc_h + jax.lax.dot_general(
+                    mass_ha.astype(tv_ref.dtype), tv_ref[a][:, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec)
+            outs.append(acc_h)
+        acc_f = jnp.concatenate(outs, axis=1)
+
+    acc_ref[:] = acc_f
+    m_ref[:] = m_f
+    den_ref[:] = den_f
+
+
+def sparse_band_attention(
+    q, k, v, sb,
+    table_q=None, table_k=None, table_v=None,
+    *,
+    window_size, quant_size, scale, s_band=128, tile=128, w_chunk=64,
+    interpret=False, fast=False,
+):
+    """Pallas stratified far-key attention over the band-structured layout.
+
+    Drop-in replacement for ``ops.attention.sparse_band_triple``: q/k/v are
+    ``[N, h, d]`` in *small*-window-sorted order, ``sb`` is an
+    ``ops.plan.SparseBandLayout``. Returns the unnormalised online-softmax
+    triple ``(acc, m, den)`` in small-sorted order.
+    """
+    n, h, d = q.shape
+    assert n % tile == 0, (n, tile)
+    nt = n // tile
+    a_sz = int(sb.sb_src.shape[0])
+    ws_band = min(s_band, a_sz)
+    if ws_band % w_chunk:
+        w_chunk = ws_band  # degenerate small layouts: one chunk
+    use_rpe = table_q is not None
+    use_rel_value = table_v is not None
+    num_bins = table_q.shape[0] if use_rpe else 0
+
+    hd = h * d
+    hd_pad = ((hd + 127) // 128) * 128
+    # All buffers stay fp32: Mosaic cannot dynamic-offset-slice packed
+    # (bf16) memrefs, and the kernel's DMA base is data-dependent. ``fast``
+    # instead selects DEFAULT matmul precision = bf16 MXU passes on fp32
+    # operands (same MXU throughput; only the staging bytes differ, and the
+    # aux buffers are small).
+    cdt = jnp.float32
+    qf = (jnp.asarray(q, jnp.float32) * scale).reshape(n, hd)
+    # queries to lw order ([N]-index row gathers — cheap)
+    q_lw = qf[sb.lw_map].astype(cdt)
+    xq = jnp.concatenate([
+        jnp.asarray(sb.xyz_lw, jnp.float32),
+        jnp.asarray(sb.valid_lw, jnp.float32)[:, None],
+    ], axis=1)
+    xq = jnp.pad(xq, ((0, 0), (0, 128 - 4)))
+
+    # aux member arrays (one [A]-row gather each)
+    src = jnp.clip(sb.sb_src, 0, n - 1)
+    okm = sb.sb_valid[:, None]
+    kx = jnp.pad(
+        jnp.where(okm, jnp.asarray(k, jnp.float32).reshape(n, hd)[src], 0.0),
+        ((0, 0), (0, hd_pad - hd))).astype(cdt)
+    vx = jnp.pad(
+        jnp.where(okm, jnp.asarray(v, jnp.float32).reshape(n, hd)[src], 0.0),
+        ((0, 0), (0, hd_pad - hd))).astype(cdt)
+    xx = jnp.concatenate([
+        jnp.asarray(sb.sb_xyz, jnp.float32),
+        jnp.asarray(sb.sb_valid, jnp.float32)[:, None],
+    ], axis=1)
+    xx = jnp.pad(xx, ((0, 0), (0, 128 - 4)))
+    skx = jnp.pad(jnp.asarray(sb.sb_skey, jnp.int32)[:, None],
+                  ((0, 0), (0, 127)))
+
+    ks = jnp.asarray(sb.sb_start, jnp.int32)[:, None]
+    ke = jnp.asarray(sb.sb_end, jnp.int32)[:, None]
+    skq = jnp.asarray(sb.q_skey_lw, jnp.int32)[:, None]
+    # Align the dynamic DMA base to the sublane packing (16 rows covers
+    # both fp32 (8,128) and bf16 (16,128) tilings — Mosaic cannot slice a
+    # packed memref at an unaligned dynamic row offset). Rounding DOWN
+    # keeps coverage: segments start at >= base.
+    bases = jnp.minimum(
+        sb.sb_start.reshape(nt, tile)[:, 0], a_sz - ws_band
+    ).astype(jnp.int32)
+    bases = (bases // 16) * 16
+
+    def pack(t):
+        tt = jnp.asarray(t, cdt)
+        return jnp.transpose(tt, (3, 0, 1, 2)).reshape(3, num_bins, hd)
+
+    dummy = jnp.zeros((1, 1, 1), cdt)
+    tq = pack(table_q) if use_rpe else dummy
+    tk = pack(table_k) if use_rpe else dummy
+    tv = pack(table_v) if use_rel_value else dummy
+
+    kernel = functools.partial(
+        _sparse_kernel, tile=tile, s_band=ws_band, w_chunk=w_chunk,
+        num_heads=h, head_dim=d, num_bins=num_bins,
+        window_size=float(window_size), quant_size=float(quant_size),
+        use_rpe=use_rpe, use_rel_value=use_rel_value, fast=fast,
+    )
+
+    vmem = pltpu.VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((tile, hd), lambda i, b: (i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((tile, 1), lambda i, b: (i, 0), memory_space=vmem),
+            pl.BlockSpec((tile, 1), lambda i, b: (i, 0), memory_space=vmem),
+            pl.BlockSpec((tile, 1), lambda i, b: (i, 0), memory_space=vmem),
+            pl.BlockSpec((tile, 128), lambda i, b: (i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec(memory_space=pl.ANY),      # kx
+            pl.BlockSpec(memory_space=pl.ANY),      # vx
+            pl.BlockSpec(memory_space=pl.ANY),      # xx
+            pl.BlockSpec(memory_space=pl.ANY),      # skx
+            pl.BlockSpec(memory_space=vmem),        # tq
+            pl.BlockSpec(memory_space=vmem),        # tk
+            pl.BlockSpec(memory_space=vmem),        # tv
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, hd), lambda i, b: (i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((tile, h), lambda i, b: (i, 0), memory_space=vmem),
+            pl.BlockSpec((tile, h), lambda i, b: (i, 0), memory_space=vmem),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ws_band, hd_pad), cdt),
+            pltpu.VMEM((ws_band, hd_pad), cdt),
+            pltpu.VMEM((ws_band, 128), jnp.float32),
+            pltpu.VMEM((ws_band, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    acc, m, den = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bases, q_lw, ks, ke, skq, xq, kx, vx, xx, skx, tq, tk, tv)
+    # back to small-sorted order
+    u = sb.lw_unmap
+    return acc.reshape(n, h, d)[u], m[u], den[u]
 
 
 def band_attention(

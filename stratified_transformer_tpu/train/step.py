@@ -37,6 +37,8 @@ def make_train_step(ignore_label, num_classes, offset_weight=1.0,
             (logits, shift), updated = state.apply_fn(
                 variables, batch["feats"], batch["xyz"], batch["offsets"],
                 training=True, mutable=["batch_stats"],
+                stem_nidx=batch.get("stem_nidx"),
+                stem_nmask=batch.get("stem_nmask"),
                 rngs={"droppath": dp_rng, "dropout": do_rng})
             loss_seg = losses.cross_entropy(
                 logits, batch["labels"], ignore_label, valid)
@@ -82,7 +84,9 @@ def make_eval_step(ignore_label, num_classes, axis_name=None):
                      "batch_stats": state.batch_stats}
         logits, shift = state.apply_fn(
             variables, batch["feats"], batch["xyz"], batch["offsets"],
-            training=False)
+            training=False,
+            stem_nidx=batch.get("stem_nidx"),
+            stem_nmask=batch.get("stem_nmask"))
         loss = losses.cross_entropy(
             logits, batch["labels"], ignore_label, valid)
         pred = jnp.argmax(logits, -1)

@@ -183,3 +183,44 @@ def test_fused_attn_impl_model_forward():
         training=False)
     np.testing.assert_allclose(
         np.asarray(lf), np.asarray(lr), rtol=2e-3, atol=2e-4)
+
+
+def test_host_stem_neighbors_match_device():
+    """Host (C++/numpy) stem ball-query path == on-device path.
+
+    With k large enough to hold every ball member, both paths see the same
+    neighbor SET (order differs; KPConv sums over neighbors, so the output
+    is order-invariant). Mirrors the reference's CPU ball_query semantics
+    (train.py:324-329)."""
+    from stratified_transformer_tpu.data.collate import (
+        collate_scenes, with_stem_neighbors)
+
+    cfg = TINY
+    ds = SyntheticRooms(
+        num_scenes=cfg.num_scenes, points=220, extent=2.0,
+        num_classes=cfg.num_classes, voxel_size=0.04,
+        voxel_max=cfg.n_pad // cfg.num_scenes, seed=3)
+    scenes = [with_xyz_concat(ds[i]) for i in range(cfg.num_scenes)]
+    b = collate_scenes(scenes, cfg.n_pad, cfg.num_scenes, ignore_label=255)
+    radius = 2.5 * cfg.grid_size * cfg.sigma
+    k = 64  # voxelized at 0.04, ball of r=0.1 holds << 64 points
+    bh = with_stem_neighbors(b, radius=radius, k=k)
+    assert not bool(bh.stem_nmask[:, -1].any()), "k must cover every ball"
+
+    cfg_k = StratifiedConfig(**{
+        **{f.name: getattr(cfg, f.name)
+           for f in __import__("dataclasses").fields(cfg)},
+        "max_num_neighbors": k})
+    model = Stratified(cfg_k)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "droppath": rng}, b.feats, b.xyz, b.offsets,
+        training=False)
+    dev_logits, _ = model.apply(
+        variables, b.feats, b.xyz, b.offsets, training=False)
+    host_logits, _ = model.apply(
+        variables, b.feats, b.xyz, b.offsets, training=False,
+        stem_nidx=bh.stem_nidx, stem_nmask=bh.stem_nmask)
+    np.testing.assert_allclose(
+        np.asarray(host_logits), np.asarray(dev_logits),
+        rtol=2e-4, atol=2e-4)

@@ -92,3 +92,46 @@ def test_fused_gradients_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
             err_msg=name)
+
+
+def test_sparse_band_kernel_direct(rng):
+    """Direct parity: Pallas sparse kernel vs jnp sparse_band_triple, with
+    bin-center-snapped coordinates (no quantization-boundary ambiguity)."""
+    from stratified_transformer_tpu.ops import plan as P
+    from stratified_transformer_tpu.ops.pallas.fused_attention import (
+        sparse_band_attention)
+
+    n_pad, n_valid = 256, 200
+    # snap coords to bin centers: multiples of QUANT plus QUANT/2
+    xyz = (rng.integers(0, 16, (n_pad, 3)) * QUANT
+           + QUANT / 2).astype(np.float32)
+    batch = np.zeros(n_pad, np.int32)
+    valid = np.arange(n_pad) < n_valid
+    batch[~valid] = 1
+    q = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    k = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    v = rng.normal(size=(n_pad, H, D)).astype(np.float32)
+    is_down = (rng.uniform(size=n_pad) < 0.4) & valid
+    plan = P.build_attention_plan(
+        jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), WS,
+        shifted=False, is_down=jnp.asarray(is_down), sparse_cap=16)
+    sb = plan.sparse_band
+    o = plan.order
+    qs, ks, vs = (jnp.asarray(a)[o] for a in (q, k, v))
+    tq, tk, tv = _tables(rng)
+    kw = dict(window_size=WS, quant_size=QUANT, scale=SCALE,
+              s_band=64, tile=32)
+    from stratified_transformer_tpu.ops import attention as A
+    acc_j, m_j, den_j = A.sparse_band_triple(
+        qs, ks, vs, plan.xyz_sorted, sb, table_q=tq, table_k=tk,
+        table_v=tv, **kw)
+    acc_p, m_p, den_p = sparse_band_attention(
+        qs, ks, vs, sb, table_q=tq, table_k=tk, table_v=tv, **kw,
+        w_chunk=32, interpret=True)
+    vq = np.asarray(plan.valid_sorted)
+    np.testing.assert_allclose(np.asarray(acc_p)[vq], np.asarray(acc_j)[vq],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(den_p)[vq], np.asarray(den_j)[vq],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_p)[vq], np.asarray(m_j)[vq],
+                               rtol=1e-5, atol=1e-6)

@@ -150,7 +150,8 @@ class BatchLoader:
             len(dataset) // self.scenes_per_batch, 1)
 
     def _make_batch(self, scene_ids):
-        from stratified_transformer_tpu.data.collate import collate_scenes
+        from stratified_transformer_tpu.data.collate import (
+            collate_scenes, with_stem_neighbors)
         from stratified_transformer_tpu.data.prepare import with_xyz_concat
 
         mcfg = self.mcfg
@@ -164,8 +165,16 @@ class BatchLoader:
             b = collate_scenes(
                 scenes, mcfg.n_pad, spd,
                 ignore_label=int(self.cfg.get("ignore_label", 255)))
+            # KPConv-stem ball query on the host, in this prefetch worker —
+            # overlapped with device compute exactly like the reference's
+            # CPU ball_query in the train loop (train.py:324-329).
+            b = with_stem_neighbors(
+                b, radius=2.5 * mcfg.grid_size * mcfg.sigma,
+                k=mcfg.max_num_neighbors)
             d_batch = {"feats": b.feats, "xyz": b.xyz,
-                       "offsets": b.offsets, "labels": b.labels}
+                       "offsets": b.offsets, "labels": b.labels,
+                       "stem_nidx": b.stem_nidx,
+                       "stem_nmask": b.stem_nmask}
             if b.target_shift is not None:
                 d_batch["target_shift"] = b.target_shift
             per_dev.append(d_batch)
