@@ -53,9 +53,14 @@ def main():
     state = create_train_state(
         model, jax.random.PRNGKey(0),
         (batch["feats"], batch["xyz"], batch["offsets"]), schedule)
+    # NOTE: buffer donation + Pallas custom calls trips an axon-runtime
+    # InvalidArgument on repeat executions (docs/PERF_NOTES.md); donation
+    # saves only ~150 MB of parameter/optimizer copies here, so it is
+    # enabled only on the non-Pallas path.
+    donate = (0,) if cfg.attn_impl != "fused" else ()
     step = jax.jit(
         make_train_step(ignore_label=255, num_classes=13),
-        donate_argnums=(0,))
+        donate_argnums=donate)
 
     rng = jax.random.PRNGKey(1)
     # compile + warmup

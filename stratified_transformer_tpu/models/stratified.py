@@ -74,6 +74,14 @@ class StratifiedConfig:
     n_pad: int = 140_000                      # flat point capacity
     num_scenes: int = 8                       # static batch capacity
     band: int = 128                           # one-sided dense band width
+    # Per-stage band override. Window POINT COUNTS roughly double per stage
+    # (volume x8, density /4), so one global band either wastes compute at
+    # stage 0 or truncates windows deeper in (measured at the S3DIS-scale
+    # synthetic point: stage-2 windows reach 355 pts -> band 128 drops ~30%
+    # of in-window pairs; the reference admits windows up to n_max=1024).
+    # The Pallas kernels' dynamic chunk bounds make wide bands cheap: tiles
+    # only visit chunks their segments touch.
+    band_per_stage: Optional[Tuple[int, ...]] = None
     tile: int = 128                           # attention query tile
     sparse_cap: int = 48                      # sparse keys per large window
     use_stratified: bool = True               # False => plain Swin3D windows
@@ -84,6 +92,13 @@ class StratifiedConfig:
     grid_knn_chunk: int | None = 4096         # cell-list query chunk
     bn_axis_name: str | None = None           # SyncBN psum axis (DP mesh)
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
+    # Stages [0, fused_stages) use the Pallas kernels when attn_impl is
+    # "fused"; later stages fall back to the jnp path. The late stages are
+    # tiny-N / many-head (h=12, 24): the per-head-unrolled kernels compile
+    # slowly and run SLOWER than XLA there (measured: stage2 Pallas band
+    # 11.1 ms vs jnp 8.3 ms), while stages 0-1 (h=3, 6) carry ~70% of the
+    # attention time and win on the MXU.
+    fused_stages: int = 2
     w_chunk: int = 128
     # Sparse-band aux window per query tile. A tile's far-key segments span
     # max(ke)-min(ks) aux slots; measured max 37 at the stage-0 operating
@@ -184,6 +199,12 @@ class BasicLayer(nn.Module):
             for parity in (0, 1)
         ]
 
+        impl = cfg.attn_impl
+        if impl == "fused" and i >= cfg.fused_stages:
+            impl = "reference"
+        band = cfg.band
+        if cfg.band_per_stage is not None:
+            band = cfg.band_per_stage[i]
         dps = self.cfg.drop_path_schedule()
         base = sum(cfg.depths[:i])
         for b in range(cfg.depths[i]):
@@ -192,9 +213,9 @@ class BasicLayer(nn.Module):
                 window_size=ws, quant_size=qs,
                 rel_query=cfg.rel_query, rel_key=cfg.rel_key,
                 rel_value=cfg.rel_value, drop_path_rate=dps[base + b],
-                mlp_ratio=cfg.mlp_ratio, band=cfg.band, tile=cfg.tile,
+                mlp_ratio=cfg.mlp_ratio, band=band, tile=cfg.tile,
                 tile_batch=cfg.tile_batch, remat=cfg.attn_remat,
-                impl=cfg.attn_impl, w_chunk=cfg.w_chunk,
+                impl=impl, w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
                 rpe_precision=cfg.rpe_precision,
                 qk_precision=cfg.qk_precision, s_band=cfg.s_band,

@@ -160,3 +160,35 @@ def knn_dense(new_xyz, xyz, k):
         (new_xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1)
     neg, idx = jax.lax.top_k(-d2, k)
     return idx.astype(jnp.int32), -neg
+
+
+def divide2patch(nsample, xyz, offsets, n_pad, *, anchor_scale=None,
+                 return_offset=False):
+    """FPS-anchored kNN patches (``functions/pointops.py:678-693``).
+
+    Picks ``count/downsample_scale`` FPS anchors per scene and returns each
+    anchor's ``nsample`` nearest points: ``p_idx [m_pad, nsample]``. The
+    flat-offset convention matches the reference; ``m_pad`` is the static
+    anchor capacity.
+    """
+    from stratified_transformer_tpu.ops import neighbors, sampling
+
+    xyz = jnp.asarray(xyz)
+    offsets = jnp.asarray(offsets)
+    n = xyz.shape[0]
+    scale = anchor_scale or nsample
+    counts = offsets - jnp.concatenate(
+        [jnp.zeros((1,), offsets.dtype), offsets[:-1]])
+    new_counts = counts // scale
+    new_offsets = sampling.counts_to_offsets(new_counts)
+    anchor_idx, anchor_valid = sampling.farthest_point_sampling(
+        xyz, offsets, new_offsets, n_pad)
+    valid = sampling.offsets_to_valid(offsets, n)
+    batch = sampling.offsets_to_batch(offsets, n)
+    a_batch = sampling.offsets_to_batch(new_offsets, n_pad)
+    p_idx, _, p_mask = neighbors.knn(
+        xyz[anchor_idx], a_batch, xyz, batch, valid, nsample,
+        query_valid=anchor_valid)
+    if return_offset:
+        return p_idx, p_mask, new_offsets
+    return p_idx, p_mask

@@ -128,7 +128,7 @@ def _band_kernel(
 
     def chunk_body(c, carry):
         m_run, den_run, acc_run, mass_run = carry
-        c0 = c * w_chunk
+        c0 = pl.multiple_of(c * w_chunk, w_chunk)
         kc = kb_ref[pl.ds(c0, w_chunk)]             # [Wc, hd_pad]
         vc = vb_ref[pl.ds(c0, w_chunk)]
         xc = xb_ref[pl.ds(c0, w_chunk)]             # [Wc, 128]
@@ -315,7 +315,7 @@ def _sparse_kernel(
     mm_prec = (jax.lax.Precision.DEFAULT if fast
                else jax.lax.Precision.HIGHEST)
     t_idx = pl.program_id(0)
-    base = bases_ref[t_idx]
+    base = pl.multiple_of(bases_ref[t_idx], 16)
     h, d = num_heads, head_dim
 
     cps = [
@@ -367,7 +367,7 @@ def _sparse_kernel(
 
     def chunk_body(c, carry):
         m_run, den_run, acc_run, mass_run = carry
-        c0 = c * w_chunk
+        c0 = pl.multiple_of(c * w_chunk, w_chunk)
         kc = kb_ref[pl.ds(c0, w_chunk)]             # [Wc, hd_pad]
         vc = vb_ref[pl.ds(c0, w_chunk)]
         xc = xb_ref[pl.ds(c0, w_chunk)]             # [Wc, 128]

@@ -149,7 +149,7 @@ def _band_bwd_kernel(
             gprojs.append(rowg)
 
     def chunk_body(c, dq_run):
-        c0 = c * w_chunk
+        c0 = pl.multiple_of(c * w_chunk, w_chunk)
         kc = kb_ref[pl.ds(c0, w_chunk)]
         vc = vb_ref[pl.ds(c0, w_chunk)]
         xc = xb_ref[pl.ds(c0, w_chunk)]
@@ -211,6 +211,9 @@ def _band_bwd_kernel(
                             gprojs[i][a], ridxs[a], axis=1)[:, :w_chunk]
 
             m_h = m_all[:, i:i + 1]
+            # mask BEFORE exp: a masked slot's raw logit can exceed the
+            # valid row max, and exp overflow * maskf(0) would give NaN
+            logits = jnp.where(mask, logits, NEG_INF)
             r = jnp.exp(logits - m_h) * maskf / den[:, i:i + 1]  # [T,Wc]
             dl = r * (gv - go[i])                                # [T,Wc]
 
@@ -474,7 +477,7 @@ def _sparse_bwd_kernel(
     mm_prec = (jax.lax.Precision.DEFAULT if fast
                else jax.lax.Precision.HIGHEST)
     t_idx = pl.program_id(0)
-    base = bases_ref[t_idx]
+    base = pl.multiple_of(bases_ref[t_idx], 16)
     h, d = num_heads, head_dim
 
     cps = [
@@ -541,7 +544,7 @@ def _sparse_bwd_kernel(
             gprojs.append(rowg)
 
     def chunk_body(c, dq_run):
-        c0 = c * w_chunk
+        c0 = pl.multiple_of(c * w_chunk, w_chunk)
         kc = kb_ref[pl.ds(c0, w_chunk)]
         vc = vb_ref[pl.ds(c0, w_chunk)]
         xc = xb_ref[pl.ds(c0, w_chunk)]
@@ -604,6 +607,9 @@ def _sparse_bwd_kernel(
                             gprojs[i][a], ridxs[a], axis=1)[:, :w_chunk]
 
             m_h = m_all[:, i:i + 1]
+            # mask BEFORE exp: a masked slot's raw logit can exceed the
+            # valid row max, and exp overflow * maskf(0) would give NaN
+            logits = jnp.where(mask, logits, NEG_INF)
             r = jnp.exp(logits - m_h) * maskf / den[:, i:i + 1]
             dl = r * (gv - go[i])
 

@@ -30,8 +30,9 @@ def test_box_iou_and_matching():
     iou = box_map.box_iou(a, b)
     assert np.isclose(iou[0, 0], 1.0)
     assert iou[1, 1] == 0.0
-    tp, fp, fn = box_map.match_boxes(iou, 0.5)
-    assert (tp, fp, fn) == (1, 1, 1)
+    tps, fps, fn = box_map.match_boxes(iou, 0.5)
+    assert (len(tps), len(fps), fn) == (1, 1, 1)
+    assert np.isclose(tps[0], 1.0)
 
 
 def test_detection_map_running():
@@ -42,6 +43,10 @@ def test_detection_map_running():
     s = m.summary()
     assert s["tp"] == 1 and s["fn"] == 1 and s["fp"] == 0
     assert s["mean_precision"] == 1.0 and s["mean_recall"] == 0.5
+    # ranked AP: one TP at recall 0.5 -> interpolated PR plateau
+    assert 0.0 < s["AP"] <= 1.0
+    p, r = m.pr_curve(pr_samples=11)
+    assert len(p) == len(r) == 11
 
 
 def test_instantiation_two_cubes(rng):

@@ -158,3 +158,21 @@ def test_knn_dense_nearest_first():
     np.testing.assert_allclose(
         np.asarray(d2)[~same],
         np.take_along_axis(full, np.asarray(idx), -1)[~same], rtol=1e-5)
+
+
+def test_divide2patch(rng):
+    """FPS-anchored kNN patches (reference ``functions/pointops.py:678-693``)."""
+    from stratified_transformer_tpu.ops.legacy import divide2patch
+
+    n = 64
+    xyz = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    offsets = jnp.asarray([32, 64], np.int32)
+    p_idx, p_mask = divide2patch(8, xyz, offsets, n_pad=16)
+    assert p_idx.shape == (16, 8)
+    # anchors per scene = 32 // 8 = 4 -> 8 valid rows
+    assert int(p_mask.any(-1).sum()) == 8
+    # each patch's points come from one scene
+    scene = (np.asarray(p_idx) >= 32).astype(int)
+    valid_rows = np.asarray(p_mask.any(-1))
+    same = (scene == scene[:, :1]).all(-1)
+    assert same[valid_rows].all()

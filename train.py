@@ -74,6 +74,9 @@ def build_model_config(cfg, n_devices):
         bn_axis_name="data" if (
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
+        fused_stages=int(cfg.get("fused_stages", 2)),
+        band_per_stage=(tuple(int(x) for x in cfg.get("band_per_stage"))
+                        if cfg.get("band_per_stage") else None),
         w_chunk=int(cfg.get("w_chunk", 128)),
         compute_dtype=cfg.get("compute_dtype"),
         rpe_precision=str(cfg.get("rpe_precision", "highest")),
@@ -278,7 +281,9 @@ def main():
     else:
         mesh = None
         step_fn = jax.jit(
-            make_train_step(ignore, ncls, offw), donate_argnums=(0,))
+            make_train_step(ignore, ncls, offw),
+            # donation + Pallas trips the axon runtime (docs/PERF_NOTES.md)
+            donate_argnums=(0,) if mcfg.attn_impl != "fused" else ())
     eval_fn = jax.jit(make_eval_step(ignore, ncls))
 
     epochs = int(cfg.get("epochs", 100))
