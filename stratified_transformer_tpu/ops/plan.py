@@ -152,43 +152,49 @@ def build_attention_plan(
         member = is_down & valid
 
         # ---- band layout (production path) ----
+        # ONE argsort (queries by large-window key); the member compaction
+        # and per-query aux segment bounds are derived from it with O(N)
+        # prefix scans — members appear in large-key order within the lw
+        # order already, so no second sort and no searchsorted is needed.
         if aux_pad is None:
             aux_pad = ((n // 4 + 127) // 128) * 128
         pos = jnp.arange(n, dtype=jnp.int32)
-        mkey = jnp.where(member, key_large, hashing.INVALID_KEY)
-        m_order = jnp.argsort(mkey, stable=True).astype(jnp.int32)
-        mkey_sorted = mkey[m_order]
-        head_m = jnp.concatenate(
-            [jnp.ones((1,), bool), mkey_sorted[1:] != mkey_sorted[:-1]])
-        rank = pos - jax.lax.cummax(jnp.where(head_m, pos, 0))
-        keep = (mkey_sorted != hashing.INVALID_KEY) & (rank < sparse_cap)
-        slot = jnp.where(keep, jnp.cumsum(keep) - 1, aux_pad).astype(
-            jnp.int32)
-        sb_src = jnp.full((aux_pad,), -1, jnp.int32).at[slot].set(
-            part.inv_order[m_order], mode="drop")
-        sb_key_large = jnp.full(
-            (aux_pad,), hashing.INVALID_KEY, jnp.int32
-        ).at[slot].set(mkey_sorted, mode="drop")
-        sb_skey = jnp.full(
-            (aux_pad,), hashing.INVALID_KEY, jnp.int32
-        ).at[slot].set(key_small[m_order], mode="drop")
-        sb_xyz = jnp.zeros((aux_pad, 3), xyz.dtype).at[slot].set(
-            xyz[m_order], mode="drop")
-        sb_valid = sb_src >= 0
-
-        # queries in large-window-sorted order
         lw_key_sort = jnp.where(valid, key_large, hashing.INVALID_KEY)
         lw_order = jnp.argsort(lw_key_sort, stable=True).astype(jnp.int32)
         lw_inv = jnp.zeros((n,), jnp.int32).at[lw_order].set(pos)
         lw_map = part.inv_order[lw_order]
         lw_unmap = lw_inv[part.order]
         q_key_lw = lw_key_sort[lw_order]
-        # aux segment bounds per query: searchsorted over the ascending
-        # aux keys (empty segment when the window has no members)
-        sb_start = jnp.searchsorted(
-            sb_key_large, q_key_lw, side="left").astype(jnp.int32)
-        sb_end = jnp.searchsorted(
-            sb_key_large, q_key_lw, side="right").astype(jnp.int32)
+
+        head = jnp.concatenate(
+            [jnp.ones((1,), bool), q_key_lw[1:] != q_key_lw[:-1]])
+        member_lw = member[lw_order] & (q_key_lw != hashing.INVALID_KEY)
+        cmem = jnp.cumsum(member_lw)                       # inclusive
+        # member rank within its window: exclusive member count at the
+        # window head, broadcast forward by cummax
+        ex_head = jnp.where(head, cmem - member_lw, 0)
+        grp0 = jax.lax.cummax(ex_head)
+        mrank = cmem - 1 - grp0
+        keep = member_lw & (mrank < sparse_cap)
+        kept_cum = jnp.cumsum(keep)                        # inclusive
+        slot = jnp.where(keep, kept_cum - 1, aux_pad).astype(jnp.int32)
+        sb_src = jnp.full((aux_pad,), -1, jnp.int32).at[slot].set(
+            lw_map, mode="drop")
+        sb_skey = jnp.full(
+            (aux_pad,), hashing.INVALID_KEY, jnp.int32
+        ).at[slot].set(key_small[lw_order], mode="drop")
+        sb_xyz = jnp.zeros((aux_pad, 3), xyz.dtype).at[slot].set(
+            xyz[lw_order], mode="drop")
+        sb_valid = sb_src >= 0
+
+        # per-query aux segment bounds: kept-member counts before/through
+        # the query's window (empty when the window has no members)
+        ex_kept = jnp.where(head, kept_cum - keep, 0)
+        sb_start = jax.lax.cummax(ex_kept).astype(jnp.int32)
+        tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+        sb_end = jax.lax.cummin(
+            jnp.where(tail, kept_cum, n + 1), reverse=True
+        ).astype(jnp.int32)
         sparse_band = SparseBandLayout(
             lw_map=lw_map,
             lw_unmap=lw_unmap,
