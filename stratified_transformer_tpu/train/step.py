@@ -73,6 +73,71 @@ def make_train_step(ignore_label, num_classes, offset_weight=1.0,
     return train_step
 
 
+def make_split_train_step(ignore_label, num_classes, offset_weight=1.0):
+    """Two-program train step: grad (model fwd+bwd + metrics) and a pure
+    optimizer update.
+
+    The axon TPU runtime intermittently fails (`INVALID_ARGUMENT`) when a
+    single program combines Pallas custom calls with the full optimizer
+    state threading (docs/PERF_NOTES.md); splitting isolates the Pallas
+    work in a small-state program and keeps the optax update Pallas-free.
+    Two dispatches cost ~1 ms against a multi-hundred-ms step.
+
+    Returns ``step(state, batch, rng) -> (state, stats)`` with the same
+    contract as `make_train_step` (no donation).
+    """
+
+    @jax.jit
+    def grad_step(state, batch, rng):
+        # jit prunes unused args (keep_unused=False default): the optimizer
+        # state never enters this program.
+        n = batch["xyz"].shape[0]
+        valid = sampling.offsets_to_valid(batch["offsets"], n)
+        step_rng = jax.random.fold_in(rng, state.step)
+        dp_rng, do_rng = jax.random.split(step_rng)
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": state.batch_stats}
+            (logits, shift), updated = state.apply_fn(
+                variables, batch["feats"], batch["xyz"], batch["offsets"],
+                training=True, mutable=["batch_stats"],
+                stem_nidx=batch.get("stem_nidx"),
+                stem_nmask=batch.get("stem_nmask"),
+                rngs={"droppath": dp_rng, "dropout": do_rng})
+            loss_seg = losses.cross_entropy(
+                logits, batch["labels"], ignore_label, valid)
+            loss = loss_seg
+            loss_off = jnp.zeros((), jnp.float32)
+            if shift is not None and batch.get("target_shift") is not None:
+                loss_off = losses.l1_offset(
+                    shift, batch["target_shift"], valid)
+                loss = loss + offset_weight * loss_off
+            return loss, (updated["batch_stats"], logits, loss_seg, loss_off)
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_stats, logits, loss_seg, loss_off = aux
+        pred = jnp.argmax(logits, -1)
+        inter, union, target = metrics.intersection_and_union(
+            pred, batch["labels"], num_classes, ignore_label, valid)
+        stats = {
+            "loss": loss, "loss_seg": loss_seg, "loss_offset": loss_off,
+            "intersection": inter, "union": union, "target": target,
+            "points": jnp.sum(valid),
+        }
+        return grads, new_stats, stats
+
+    @jax.jit
+    def opt_step(state, grads, new_stats):
+        return state.apply_gradients(grads, new_stats)
+
+    def step(state, batch, rng):
+        grads, new_stats, stats = grad_step(state, batch, rng)
+        return opt_step(state, grads, new_stats), stats
+
+    return step
+
+
 def make_eval_step(ignore_label, num_classes, axis_name=None):
     """Forward-only step returning logits + IoU counters (val loop,
     reference ``train_backup.py:397-409`` / ``validate``)."""

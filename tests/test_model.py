@@ -224,3 +224,28 @@ def test_host_stem_neighbors_match_device():
     np.testing.assert_allclose(
         np.asarray(host_logits), np.asarray(dev_logits),
         rtol=2e-4, atol=2e-4)
+
+
+def test_split_train_step_matches_fused_state_update():
+    """make_split_train_step == make_train_step (same grads/loss/update)."""
+    from stratified_transformer_tpu.train.step import make_split_train_step
+
+    cfg = TINY
+    model = Stratified(cfg)
+    batch = make_batch(cfg, seed=1)
+    rng = jax.random.PRNGKey(0)
+    s0 = create_train_state(
+        model, rng, (batch["feats"], batch["xyz"], batch["offsets"]),
+        multi_step(0.01, [10], 0.1))
+    one = make_train_step(ignore_label=255, num_classes=cfg.num_classes)
+    two = make_split_train_step(ignore_label=255,
+                                num_classes=cfg.num_classes)
+    sa, stats_a = jax.jit(one)(s0, batch, jax.random.PRNGKey(7))
+    sb, stats_b = two(s0, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        float(stats_a["loss"]), float(stats_b["loss"]), rtol=1e-5)
+    la = jax.tree.leaves(sa.params)
+    lb = jax.tree.leaves(sb.params)
+    for a, b_ in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
