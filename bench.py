@@ -34,8 +34,10 @@ def main():
     cfg = StratifiedConfig(
         num_classes=13, in_channels=6, n_pad=n_pad, num_scenes=num_scenes,
         band=128, tile=128, sparse_cap=48, sampler="grid",
-        # production precision (matches configs/s3dis_stratified.yaml):
-        # bf16 MXU passes for cRPE one-hot contractions + QK/PV matmuls
+        # production settings (match configs/s3dis_stratified.yaml):
+        # bf16 MXU passes for cRPE one-hot contractions + QK/PV matmuls;
+        # per-stage bands sized for <1% in-window pair truncation
+        band_per_stage=(128, 128, 384, 192),
         rpe_precision="default", qk_precision="default")
     model = Stratified(cfg)
 
