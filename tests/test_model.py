@@ -249,3 +249,24 @@ def test_split_train_step_matches_fused_state_update():
     for a, b_ in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_band_per_stage_widens_without_changing_uncut_results():
+    """With no window exceeding the narrow band, per-stage widening is a
+    no-op on the output; and the config plumbs through end-to-end."""
+    import dataclasses
+    cfg_a = TINY
+    cfg_b = dataclasses.replace(TINY, band_per_stage=(64, 32))
+    batch = make_batch(cfg_a, seed=5)
+    rng = jax.random.PRNGKey(0)
+    model_a = Stratified(cfg_a)
+    va = model_a.init({"params": rng, "droppath": rng},
+                      batch["feats"], batch["xyz"], batch["offsets"],
+                      training=False)
+    la, _ = model_a.apply(va, batch["feats"], batch["xyz"],
+                          batch["offsets"], training=False)
+    model_b = Stratified(cfg_b)
+    lb, _ = model_b.apply(va, batch["feats"], batch["xyz"],
+                          batch["offsets"], training=False)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               rtol=2e-4, atol=2e-5)
