@@ -35,6 +35,7 @@ class WindowAttention(nn.Module):
     tile: int = 128
     tile_batch: int = 16           # tiles per lax.map step (chunked vmap)
     impl: str = "reference"        # "reference" (jnp) | "fused" (Pallas)
+    bwd_impl: str = "pallas"       # fused backward: "pallas" | "jnp"
     w_chunk: int = 128
     interpret: bool = False        # Pallas interpret mode (CPU testing)
     dtype: str | None = None       # compute dtype for projections
@@ -83,6 +84,7 @@ class WindowAttention(nn.Module):
                 s_band=self.s_band,
                 rpe_precision=self.rpe_precision,
                 qk_precision=self.qk_precision, remat=self.remat,
+                bwd_impl=self.bwd_impl,
             )
         else:
             out_sorted = attn_ops.stratified_attention(
@@ -118,6 +120,7 @@ class Block(nn.Module):
     tile: int = 128
     tile_batch: int = 16
     impl: str = "reference"
+    bwd_impl: str = "pallas"
     w_chunk: int = 128
     interpret: bool = False
     dtype: str | None = None
@@ -136,7 +139,7 @@ class Block(nn.Module):
             rel_query=self.rel_query, rel_key=self.rel_key,
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
             band=self.band, tile=self.tile, tile_batch=self.tile_batch,
-            impl=self.impl,
+            impl=self.impl, bwd_impl=self.bwd_impl,
             w_chunk=self.w_chunk, interpret=self.interpret,
             dtype=self.dtype, rpe_precision=self.rpe_precision,
             qk_precision=self.qk_precision, remat=self.remat,

@@ -99,6 +99,7 @@ class StratifiedConfig:
     # 11.1 ms vs jnp 8.3 ms), while stages 0-1 (h=3, 6) carry ~70% of the
     # attention time and win on the MXU.
     fused_stages: int = 2
+    attn_bwd: str = "pallas"                  # fused backward: "pallas"|"jnp"
     w_chunk: int = 128
     # Sparse-band aux window per query tile. A tile's far-key segments span
     # max(ke)-min(ks) aux slots; measured max 37 at the stage-0 operating
@@ -215,7 +216,8 @@ class BasicLayer(nn.Module):
                 rel_value=cfg.rel_value, drop_path_rate=dps[base + b],
                 mlp_ratio=cfg.mlp_ratio, band=band, tile=cfg.tile,
                 tile_batch=cfg.tile_batch, remat=cfg.attn_remat,
-                impl=impl, w_chunk=cfg.w_chunk,
+                impl=impl, bwd_impl=cfg.attn_bwd,
+                w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
                 rpe_precision=cfg.rpe_precision,
                 qk_precision=cfg.qk_precision, s_band=cfg.s_band,

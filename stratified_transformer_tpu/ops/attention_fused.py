@@ -173,12 +173,15 @@ def stratified_attention_fused(
     *, window_size, quant_size, scale, band, tile=128, w_chunk=64,
     interpret=False, sparse_band=None, s_band=256,
     rpe_precision="highest", qk_precision="highest", remat="full",
+    bwd_impl="pallas",
 ):
     """Drop-in fused (Pallas) variant of
     ``ops.attention.stratified_attention``.
 
     ``qk_precision``/``rpe_precision`` "default" selects bf16 MXU passes in
     the Pallas forward (``fast`` mode) and in the jnp backward recompute.
+    ``bwd_impl``: "pallas" (flash backward kernels) or "jnp" (VJP of the
+    jnp reference path — recompute).
     """
     fast = qk_precision == "default" and rpe_precision == "default"
     kw = dict(window_size=window_size, quant_size=quant_size, scale=scale,
@@ -186,7 +189,8 @@ def stratified_attention_fused(
     # The Pallas backward re-composes per-tile dk/dv band buffers as
     # shifted diagonals, which needs band % tile == 0; it also only covers
     # the band(+sparse_band) layouts.
-    pallas_bwd = (band % tile == 0) and sparse_idx is None
+    pallas_bwd = (bwd_impl == "pallas" and band % tile == 0
+                  and sparse_idx is None)
 
     def reference(q, k, v, tq, tk, tv):
         return jnp_attn.stratified_attention(

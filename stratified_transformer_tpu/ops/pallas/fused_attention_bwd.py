@@ -37,6 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stratified_transformer_tpu.ops.pallas.common import (
+    dynamic_chunk_bounds,
+    rel_bins_chunk,
+)
+
 NEG_INF = -1e30
 
 
@@ -112,13 +117,8 @@ def _band_bwd_kernel(
     val_t = x_t[:, 3:4]
 
     n_chunks = w // w_chunk
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    ssv = jnp.where(val_t > 0, ss, big)
-    sev = jnp.where(val_t > 0, se, 0)
-    lo = jnp.min(ssv) - (t0 - band)
-    hi = jnp.max(sev) - (t0 - band)
-    c_start = jnp.clip(lo // w_chunk, 0, n_chunks)
-    c_end = jnp.clip((hi + w_chunk - 1) // w_chunk, c_start, n_chunks)
+    c_start, c_end = dynamic_chunk_bounds(
+        ss, se, val_t, t0 - band, w_chunk, n_chunks)
     xq = max(w_chunk, num_bins)
 
     den = jnp.maximum(den_ref[:], 1e-20)            # [T,h]
@@ -164,22 +164,11 @@ def _band_bwd_kernel(
         ridxs, ridxs_tp, onehots = [], [], []
         xk = max(tile, num_bins)
         if use_rpe:
-            bins_t = jax.lax.broadcasted_iota(
-                jnp.int32, (tile, num_bins, w_chunk), 1)
-            for a in range(3):
-                rel_a = x_t[:, a:a + 1] - jnp.transpose(
-                    xc[:, a:a + 1], (1, 0))
-                rel_a = jnp.round(rel_a * 1e5) / 1e5
-                ridx_a = jnp.floor(
-                    (rel_a + 2.0 * window_size - 1e-4) / quant_size)
-                ridx_a = jnp.clip(ridx_a, 0, num_bins_full - 1)
-                ridx_a = jnp.clip(
-                    ridx_a - bin_lo, 0, num_bins - 1).astype(jnp.int32)
-                ridxs.append(jnp.pad(ridx_a, ((0, 0), (0, xq - w_chunk))))
-                ridxs_tp.append(jnp.pad(
-                    jnp.transpose(ridx_a, (1, 0)), ((0, 0), (0, xk - tile))))
-                onehots.append(
-                    (ridx_a[:, None, :] == bins_t).astype(jnp.float32))
+            ridxs, ridxs_tp, onehots = rel_bins_chunk(
+                x_t, xc, tile=tile, w_chunk=w_chunk, num_bins=num_bins,
+                bin_lo=bin_lo, num_bins_full=num_bins_full,
+                window_size=window_size, quant_size=quant_size,
+                xq=xq, xk=xk, with_onehot=True)
 
         dq_parts = []
         for i in range(h):
@@ -508,13 +497,8 @@ def _sparse_bwd_kernel(
     val_t = x_t[:, 3:4]
 
     n_chunks = s_band // w_chunk
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    ksv = jnp.where(val_t > 0, ks, big)
-    kev = jnp.where(val_t > 0, ke, 0)
-    lo = jnp.min(ksv) - base
-    hi = jnp.max(kev) - base
-    c_start = jnp.clip(lo // w_chunk, 0, n_chunks)
-    c_end = jnp.clip((hi + w_chunk - 1) // w_chunk, c_start, n_chunks)
+    c_start, c_end = dynamic_chunk_bounds(
+        ks, ke, val_t, base, w_chunk, n_chunks)
     xq = max(w_chunk, num_bins)
 
     den = jnp.maximum(den_ref[:], 1e-20)
@@ -562,20 +546,11 @@ def _sparse_bwd_kernel(
         ridxs, ridxs_tp, onehots = [], [], []
         xk = max(tile, num_bins)
         if use_rpe:
-            bins_t = jax.lax.broadcasted_iota(
-                jnp.int32, (tile, num_bins, w_chunk), 1)
-            for a in range(3):
-                rel_a = x_t[:, a:a + 1] - jnp.transpose(
-                    xc[:, a:a + 1], (1, 0))
-                rel_a = jnp.round(rel_a * 1e5) / 1e5
-                ridx_a = jnp.floor(
-                    (rel_a + 2.0 * window_size - 1e-4) / quant_size)
-                ridx_a = jnp.clip(ridx_a, 0, num_bins - 1).astype(jnp.int32)
-                ridxs.append(jnp.pad(ridx_a, ((0, 0), (0, xq - w_chunk))))
-                ridxs_tp.append(jnp.pad(
-                    jnp.transpose(ridx_a, (1, 0)), ((0, 0), (0, xk - tile))))
-                onehots.append(
-                    (ridx_a[:, None, :] == bins_t).astype(jnp.float32))
+            ridxs, ridxs_tp, onehots = rel_bins_chunk(
+                x_t, xc, tile=tile, w_chunk=w_chunk, num_bins=num_bins,
+                bin_lo=0, num_bins_full=num_bins,
+                window_size=window_size, quant_size=quant_size,
+                xq=xq, xk=xk, with_onehot=True)
 
         dq_parts = []
         for i in range(h):
