@@ -204,4 +204,96 @@ void radius_neighbors(const float* points, const int64_t* offsets,
   }
 }
 
+
+
+// Exact k-nearest-neighbors: query points against reference points, per
+// scene (offsets cumulative over both sets). Uniform-grid hash with ring
+// expansion: rings grow until k found AND the closed ring lower-bound
+// exceeds the current k-th distance. out_idx [nq, k] (-1 pad),
+// out_d2 optional squared distances (may be null).
+void knn_grid(const float* qpts, const int64_t* q_offsets,
+              const float* rpts, const int64_t* r_offsets,
+              int64_t n_scenes, int64_t k, float cell,
+              int32_t* out_idx, float* out_d2) {
+  int64_t qs = 0, rs = 0;
+  for (int64_t s = 0; s < n_scenes; ++s) {
+    const int64_t qe = q_offsets[s];
+    const int64_t re = r_offsets[s];
+    if (cell <= 0.f) {
+      // heuristic: ~2 average point spacings from the scene bounding box
+      float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+      for (int64_t i = rs; i < re; ++i)
+        for (int d = 0; d < 3; ++d) {
+          mn[d] = std::min(mn[d], rpts[i * 3 + d]);
+          mx[d] = std::max(mx[d], rpts[i * 3 + d]);
+        }
+      const double vol =
+          std::max(1e-9, double(mx[0] - mn[0]) * double(mx[1] - mn[1]) *
+                             double(mx[2] - mn[2]));
+      cell = 2.f * float(std::cbrt(vol / std::max<int64_t>(re - rs, 1)));
+    }
+    std::unordered_map<uint64_t, std::vector<int32_t>> grid;
+    grid.reserve(static_cast<size_t>((re - rs) / 2 + 16));
+    auto cell_of = [&](float v) {
+      return static_cast<int64_t>(std::floor(v / cell)) + (1 << 20);
+    };
+    auto key3 = [&](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
+      return (static_cast<uint64_t>(cx) << 42) |
+             (static_cast<uint64_t>(cy) << 21) | static_cast<uint64_t>(cz);
+    };
+    for (int64_t i = rs; i < re; ++i)
+      grid[key3(cell_of(rpts[i * 3]), cell_of(rpts[i * 3 + 1]),
+                cell_of(rpts[i * 3 + 2]))]
+          .push_back(static_cast<int32_t>(i));
+
+    std::vector<std::pair<float, int32_t>> heap;  // max-heap of k best
+    for (int64_t i = qs; i < qe; ++i) {
+      const float x = qpts[i * 3], y = qpts[i * 3 + 1], z = qpts[i * 3 + 2];
+      const int64_t cx = cell_of(x), cy = cell_of(y), cz = cell_of(z);
+      heap.clear();
+      for (int ring = 0; ring < 64; ++ring) {
+        // visit only the shell of the ring (interior already visited)
+        for (int64_t dx = -ring; dx <= ring; ++dx)
+          for (int64_t dy = -ring; dy <= ring; ++dy)
+            for (int64_t dz = -ring; dz <= ring; ++dz) {
+              if (std::max({std::abs(dx), std::abs(dy), std::abs(dz)}) !=
+                  ring)
+                continue;
+              auto it = grid.find(key3(cx + dx, cy + dy, cz + dz));
+              if (it == grid.end()) continue;
+              for (int32_t j : it->second) {
+                const float ddx = rpts[j * 3] - x;
+                const float ddy = rpts[j * 3 + 1] - y;
+                const float ddz = rpts[j * 3 + 2] - z;
+                const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (heap.size() < static_cast<size_t>(k)) {
+                  heap.emplace_back(d2, j);
+                  std::push_heap(heap.begin(), heap.end());
+                } else if (d2 < heap.front().first) {
+                  std::pop_heap(heap.begin(), heap.end());
+                  heap.back() = {d2, j};
+                  std::push_heap(heap.begin(), heap.end());
+                }
+              }
+            }
+        // closed-ring lower bound: any point beyond ring `ring` is at
+        // least ring*cell away from the query's cell
+        const float lb = ring * cell;
+        if (heap.size() == static_cast<size_t>(k) &&
+            heap.front().first <= lb * lb)
+          break;
+        if (ring * cell > 1e4f) break;  // degenerate scenes
+      }
+      std::sort_heap(heap.begin(), heap.end());  // ascending by d2
+      for (int64_t j = 0; j < k; ++j) {
+        const bool ok = j < static_cast<int64_t>(heap.size());
+        out_idx[i * k + j] = ok ? heap[j].second : -1;
+        if (out_d2) out_d2[i * k + j] = ok ? heap[j].first : 1e10f;
+      }
+    }
+    qs = qe;
+    rs = re;
+  }
+}
+
 }  // extern "C"

@@ -54,6 +54,8 @@ def _load():
         pf, ctypes.c_void_p, ctypes.c_void_p, i64, i64, f32, pf,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.radius_neighbors.argtypes = [pf, pi, i64, f32, i64, pi32]
+    lib.knn_grid.argtypes = [pf, pi, pf, pi, i64, i64, f32, pi32,
+                             ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -157,3 +159,43 @@ def radius_neighbors(points, offsets, radius, k):
         return out
     lib.radius_neighbors(points, offsets, len(offsets), float(radius), k, out)
     return out
+
+
+def knn(query_pts, query_offsets, ref_pts, ref_offsets, k, cell=0.0,
+        with_dist=False):
+    """Exact per-scene kNN on the host (grid hash + ring expansion).
+
+    Mirrors ``ops.neighbors.knn`` semantics (``pointops.knnquery``,
+    ``knnquery_cuda_kernel.cu:65-108``): nearest-first indices into the
+    reference set, -1 where fewer than k exist. ``cell<=0`` picks
+    ~2 average point spacings automatically.
+    """
+    lib = _load()
+    q = np.ascontiguousarray(query_pts, np.float32)
+    r = np.ascontiguousarray(ref_pts, np.float32)
+    qo = np.ascontiguousarray(query_offsets, np.int64)
+    ro = np.ascontiguousarray(ref_offsets, np.int64)
+    nq = len(q)
+    out = np.empty((nq, k), np.int32)
+    d2 = np.empty((nq, k), np.float32) if with_dist else None
+    if lib is None:
+        # numpy fallback: brute force per scene
+        qs = rs = 0
+        for s in range(len(qo)):
+            qe, re = int(qo[s]), int(ro[s])
+            qseg, rseg = q[qs:qe], r[rs:re]
+            if len(qseg):
+                dist = ((qseg[:, None, :] - rseg[None, :, :]) ** 2).sum(-1)
+                kk = min(k, len(rseg))
+                idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+                out[qs:qe, :kk] = idx + rs
+                out[qs:qe, kk:] = -1
+                if with_dist:
+                    d2[qs:qe, :kk] = np.take_along_axis(dist, idx, 1)
+                    d2[qs:qe, kk:] = 1e10
+            qs, rs = qe, re
+        return (out, d2) if with_dist else out
+    lib.knn_grid(
+        q, qo, r, ro, len(qo), k, float(cell), out,
+        d2.ctypes.data_as(ctypes.c_void_p) if with_dist else None)
+    return (out, d2) if with_dist else out

@@ -65,3 +65,27 @@ def test_radius_neighbors_matches_bruteforce(rng):
             else:
                 assert got <= inside and len(got) == 6
         start = e
+
+
+def test_knn_grid_matches_bruteforce(rng):
+    from stratified_transformer_tpu.data import native
+
+    q = rng.uniform(0, 1, (120, 3)).astype(np.float32)
+    r = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    qo = np.array([70, 120], np.int64)
+    ro = np.array([130, 200], np.int64)
+    idx, d2 = native.knn(q, qo, r, ro, k=5, with_dist=True)
+    # brute-force oracle
+    qs = rs = 0
+    for s in range(2):
+        qe, re = int(qo[s]), int(ro[s])
+        dist = ((q[qs:qe, None, :] - r[None, rs:re, :]) ** 2).sum(-1)
+        want = np.argsort(dist, axis=1, kind="stable")[:, :5] + rs
+        wd = np.sort(dist, axis=1)[:, :5]
+        np.testing.assert_allclose(
+            np.sort(wd, 1), np.sort(d2[qs:qe], 1), rtol=1e-5)
+        # indices may tie-swap; compare via distances per slot
+        got_d = ((q[qs:qe, None, :] - r[idx[qs:qe]]) ** 2).sum(-1)
+        np.testing.assert_allclose(got_d, d2[qs:qe], rtol=1e-5, atol=1e-7)
+        assert (idx[qs:qe] >= rs).all() and (idx[qs:qe] < re).all()
+        qs, rs = qe, re
