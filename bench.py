@@ -47,9 +47,14 @@ def main():
     # production — train.py overlaps it with the device step)
     b = with_stem_neighbors(
         b, radius=2.5 * cfg.grid_size * cfg.sigma, k=cfg.max_num_neighbors)
+    from stratified_transformer_tpu.data.pyramid import (
+        build_geometry_pyramid)
     batch = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,
              "labels": b.labels, "stem_nidx": b.stem_nidx,
-             "stem_nmask": b.stem_nmask}
+             "stem_nmask": b.stem_nmask,
+             # host-built geometry pyramid (prefetched by the train loader
+             # in production, overlapped with the device step)
+             "pyramid": build_geometry_pyramid(b.xyz, b.offsets, cfg)}
 
     schedule = multi_step(0.006, [60, 80], 0.1)
     state = create_train_state(

@@ -134,7 +134,24 @@ class TransitionDown(nn.Module):
     knn_chunk: Optional[int] = 4096  # query chunk (VMEM-resident tiles)
 
     @nn.compact
-    def __call__(self, feats, xyz, offsets):
+    def __call__(self, feats, xyz, offsets, precomp=None):
+        if precomp is not None:
+            # host-computed level (data.pyramid): sample indices, offsets
+            # and the kNN graph arrive with the batch
+            idx = jnp.asarray(precomp["idx"], jnp.int32)
+            out_valid = jnp.asarray(precomp["valid"])
+            new_offsets = jnp.asarray(precomp["offsets"], offsets.dtype)
+            n_xyz = xyz[idx]
+            projected = dense(self.out_channels, use_bias=False,
+                              name="linear")(
+                nn.LayerNorm(name="norm")(feats))
+            gathered = neighbors.gather_group(
+                projected, jnp.asarray(precomp["knn_idx"], jnp.int32),
+                jnp.asarray(precomp["knn_mask"]), fill=-jnp.inf)
+            pooled = jnp.max(gathered, axis=1)
+            pooled = jnp.where(out_valid[:, None], pooled, 0.0)
+            return pooled, n_xyz, new_offsets, out_valid
+
         counts = offsets - jnp.concatenate(
             [jnp.zeros((1,), offsets.dtype), offsets[:-1]])
         new_counts = sampling.floor_ratio_counts(counts, self.ratio)
@@ -187,12 +204,21 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats, xyz, offsets, skip_feats, skip_xyz, skip_offsets
+        self, feats, xyz, offsets, skip_feats, skip_xyz, skip_offsets,
+        precomp=None,
     ):
         n_coarse = xyz.shape[0]
         n_fine = skip_xyz.shape[0]
         lifted = dense(self.out_channels, name="linear2")(
             nn.LayerNorm(name="norm2")(feats))
+        if precomp is not None:
+            interp = neighbors.interpolate_from_idx(
+                skip_xyz, xyz, lifted,
+                jnp.asarray(precomp["idx"], jnp.int32),
+                jnp.asarray(precomp["mask"]))
+            out = dense(self.out_channels, name="linear1")(
+                nn.LayerNorm(name="norm1")(skip_feats)) + interp
+            return out, skip_xyz, skip_offsets
         interp = neighbors.three_nn_interpolate(
             skip_xyz,
             sampling.offsets_to_batch(skip_offsets, n_fine),

@@ -161,7 +161,8 @@ class BasicLayer(nn.Module):
     stage: int
 
     @nn.compact
-    def __call__(self, feats, xyz, offsets, *, training: bool):
+    def __call__(self, feats, xyz, offsets, *, training: bool,
+                 is_down_pre=None):
         cfg = self.cfg
         i = self.stage
         n = xyz.shape[0]
@@ -171,7 +172,10 @@ class BasicLayer(nn.Module):
         valid = sampling.offsets_to_valid(offsets, n)
 
         is_down = None
-        if cfg.use_stratified:
+        if cfg.use_stratified and is_down_pre is not None:
+            is_down = jnp.asarray(is_down_pre)
+            d_pad = n // cfg.downsample_scale + cfg.num_scenes
+        elif cfg.use_stratified:
             counts = offsets - jnp.concatenate(
                 [jnp.zeros((1,), offsets.dtype), offsets[:-1]])
             d_counts = sampling.floor_ratio_counts(
@@ -231,9 +235,14 @@ class Stratified(nn.Module):
 
     @nn.compact
     def __call__(self, feats, xyz, offsets, *, training: bool = False,
-                 stem_nidx=None, stem_nmask=None):
+                 stem_nidx=None, stem_nmask=None, pyramid=None):
         """feats ``[N_pad, C_in]``, xyz ``[N_pad, 3]``, offsets ``[B]``.
 
+        ``pyramid``: optional HOST-computed geometry pyramid
+        (`data.pyramid.build_geometry_pyramid`) — downsample indices, kNN
+        graphs, 3-NN upsample indices and stratified member masks; when
+        given, all on-device neighbor searches and sampling sorts outside
+        the attention plans are skipped.
         ``stem_nidx``/``stem_nmask`` (``[N_pad, K]``): optional HOST-computed
         radius neighbors for the KPConv stem — the reference computes
         ball_query on CPU inside the train loop (``train.py:324-329``), so
@@ -277,6 +286,10 @@ class Stratified(nn.Module):
         feats_stack, xyz_stack, off_stack, grid_stack = [], [], [], []
         caps = cfg.stage_caps()
         cap_i = 0
+        down_pre = list(pyramid["down"]) if pyramid is not None else None
+        up_pre = list(pyramid["up"]) if pyramid is not None else None
+        sd_pre = (list(pyramid["stage_down"])
+                  if pyramid is not None and cfg.use_stratified else None)
 
         if not cfg.stem_transformer:
             feats_stack.append(feats)
@@ -294,12 +307,15 @@ class Stratified(nn.Module):
                 knn_cell=cfg.grid_sizes()[0] * 3.0,
                 knn_cap=cfg.neighbor_cap,
                 knn_chunk=cfg.grid_knn_chunk,
-            )(feats, xyz, offsets)
+            )(feats, xyz, offsets,
+              precomp=down_pre.pop(0) if down_pre else None)
             cap_i = 1
 
         for i in range(cfg.layer_start, cfg.num_layers):
             feats = BasicLayer(cfg, i, name=f"layer_{i}")(
-                feats, xyz, offsets, training=training)
+                feats, xyz, offsets, training=training,
+                is_down_pre=(sd_pre.pop(0)["is_down"]
+                             if sd_pre is not None else None))
             feats_stack.append(feats)
             xyz_stack.append(xyz)
             off_stack.append(offsets)
@@ -316,7 +332,8 @@ class Stratified(nn.Module):
                     knn_cell=cfg.grid_sizes()[i] * 3.0,
                     knn_cap=cfg.neighbor_cap,
                     knn_chunk=cfg.grid_knn_chunk,
-                )(feats, xyz, offsets)
+                )(feats, xyz, offsets,
+                  precomp=down_pre.pop(0) if down_pre else None)
 
         feats = feats_stack.pop()
         xyz = xyz_stack.pop()
@@ -335,7 +352,8 @@ class Stratified(nn.Module):
                 knn_cap=cfg.neighbor_cap,
                 knn_chunk=cfg.grid_knn_chunk,
             )(feats, xyz, offsets,
-              feats_stack.pop(), xyz_stack.pop(), off_stack.pop())
+              feats_stack.pop(), xyz_stack.pop(), off_stack.pop(),
+              precomp=up_pre.pop(0) if up_pre is not None else None)
             up_idx += 1
 
         valid0 = sampling.offsets_to_valid(offsets, xyz.shape[0])

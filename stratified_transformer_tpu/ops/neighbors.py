@@ -357,6 +357,25 @@ def three_nn_interpolate(
     return jnp.sum(gathered * w[..., None].astype(support_feats.dtype), axis=1)
 
 
+def interpolate_from_idx(query_xyz, support_xyz, support_feats, idx, mask):
+    """Inverse-distance 3-NN interpolation from PRECOMPUTED indices.
+
+    Same math as `three_nn_interpolate` (``pointops.interpolation``,
+    ``functions/pointops.py:756-770``) with the neighbor search done
+    elsewhere (e.g. on the host, `data.pyramid`): distances are recomputed
+    on device from the gathered coordinates ([M, k] row gathers — cheap).
+    """
+    qx = jnp.asarray(query_xyz, jnp.float32)
+    sx = jnp.asarray(support_xyz, jnp.float32)
+    d = jnp.sqrt(jnp.sum((qx[:, None, :] - sx[idx]) ** 2, -1))
+    recip = jnp.where(mask, 1.0 / (d + 1e-8), 0.0)
+    denom = jnp.sum(recip, -1, keepdims=True)
+    w = recip / jnp.maximum(denom, 1e-12)
+    gathered = support_feats[idx]
+    return jnp.sum(gathered * w[..., None].astype(support_feats.dtype),
+                   axis=1)
+
+
 def subtraction(input1, input2, idx, mask=None):
     """Pairwise difference ``out[i, j] = input1[i] - input2[idx[i, j]]``.
 

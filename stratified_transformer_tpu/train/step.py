@@ -39,6 +39,7 @@ def make_train_step(ignore_label, num_classes, offset_weight=1.0,
                 training=True, mutable=["batch_stats"],
                 stem_nidx=batch.get("stem_nidx"),
                 stem_nmask=batch.get("stem_nmask"),
+                pyramid=batch.get("pyramid"),
                 rngs={"droppath": dp_rng, "dropout": do_rng})
             loss_seg = losses.cross_entropy(
                 logits, batch["labels"], ignore_label, valid)
@@ -103,6 +104,7 @@ def make_split_train_step(ignore_label, num_classes, offset_weight=1.0):
                 training=True, mutable=["batch_stats"],
                 stem_nidx=batch.get("stem_nidx"),
                 stem_nmask=batch.get("stem_nmask"),
+                pyramid=batch.get("pyramid"),
                 rngs={"droppath": dp_rng, "dropout": do_rng})
             loss_seg = losses.cross_entropy(
                 logits, batch["labels"], ignore_label, valid)
@@ -151,7 +153,8 @@ def make_eval_step(ignore_label, num_classes, axis_name=None):
             variables, batch["feats"], batch["xyz"], batch["offsets"],
             training=False,
             stem_nidx=batch.get("stem_nidx"),
-            stem_nmask=batch.get("stem_nmask"))
+            stem_nmask=batch.get("stem_nmask"),
+            pyramid=batch.get("pyramid"))
         loss = losses.cross_entropy(
             logits, batch["labels"], ignore_label, valid)
         pred = jnp.argmax(logits, -1)

@@ -178,6 +178,11 @@ class BatchLoader:
                        "offsets": b.offsets, "labels": b.labels,
                        "stem_nidx": b.stem_nidx,
                        "stem_nmask": b.stem_nmask}
+            if bool(self.cfg.get("host_pyramid", True)):
+                from stratified_transformer_tpu.data.pyramid import (
+                    build_geometry_pyramid)
+                d_batch["pyramid"] = build_geometry_pyramid(
+                    b.xyz, b.offsets, mcfg)
             if b.target_shift is not None:
                 d_batch["target_shift"] = b.target_shift
             per_dev.append(d_batch)
