@@ -251,6 +251,9 @@ void knn_grid(const float* qpts, const int64_t* q_offsets,
       const float x = qpts[i * 3], y = qpts[i * 3 + 1], z = qpts[i * 3 + 2];
       const int64_t cx = cell_of(x), cy = cell_of(y), cz = cell_of(z);
       heap.clear();
+      bool exact = false;
+      const size_t want =
+          static_cast<size_t>(std::min<int64_t>(k, re - rs));
       for (int ring = 0; ring < 64; ++ring) {
         // visit only the shell of the ring (interior already visited)
         for (int64_t dx = -ring; dx <= ring; ++dx)
@@ -279,10 +282,33 @@ void knn_grid(const float* qpts, const int64_t* q_offsets,
         // closed-ring lower bound: any point beyond ring `ring` is at
         // least ring*cell away from the query's cell
         const float lb = ring * cell;
-        if (heap.size() == static_cast<size_t>(k) &&
-            heap.front().first <= lb * lb)
+        if (heap.size() >= want &&
+            (want == static_cast<size_t>(re - rs) ||
+             heap.front().first <= lb * lb)) {
+          exact = true;
           break;
+        }
         if (ring * cell > 1e4f) break;  // degenerate scenes
+      }
+      if (!exact) {
+        // Ring cap hit before the exactness bound was proven (clustered
+        // scene + underestimated cell): fall back to a brute-force scan
+        // so the advertised exact-kNN contract always holds.
+        heap.clear();
+        for (int64_t j = rs; j < re; ++j) {
+          const float ddx = rpts[j * 3] - x;
+          const float ddy = rpts[j * 3 + 1] - y;
+          const float ddz = rpts[j * 3 + 2] - z;
+          const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+          if (heap.size() < static_cast<size_t>(k)) {
+            heap.emplace_back(d2, static_cast<int32_t>(j));
+            std::push_heap(heap.begin(), heap.end());
+          } else if (d2 < heap.front().first) {
+            std::pop_heap(heap.begin(), heap.end());
+            heap.back() = {d2, static_cast<int32_t>(j)};
+            std::push_heap(heap.begin(), heap.end());
+          }
+        }
       }
       std::sort_heap(heap.begin(), heap.end());  // ascending by d2
       for (int64_t j = 0; j < k; ++j) {

@@ -142,7 +142,7 @@ def radius_neighbors(points, offsets, radius, k):
     points = np.ascontiguousarray(points, np.float32)
     offsets = np.ascontiguousarray(offsets, np.int64)
     n = len(points)
-    out = np.empty((n, k), np.int32)
+    out = np.full((n, k), -1, np.int32)  # padded rows stay deterministic
     if lib is None:
         # numpy fallback: brute force per scene
         start = 0
@@ -176,8 +176,11 @@ def knn(query_pts, query_offsets, ref_pts, ref_offsets, k, cell=0.0,
     qo = np.ascontiguousarray(query_offsets, np.int64)
     ro = np.ascontiguousarray(ref_offsets, np.int64)
     nq = len(q)
-    out = np.empty((nq, k), np.int32)
-    d2 = np.empty((nq, k), np.float32) if with_dist else None
+    # Deterministic padding: rows past query_offsets[-1] are never filled
+    # by the kernel, but downstream masks (pyramid "up" entries) key on
+    # idx >= 0 — leave them -1 / 1e10, not uninitialized memory.
+    out = np.full((nq, k), -1, np.int32)
+    d2 = np.full((nq, k), 1e10, np.float32) if with_dist else None
     if lib is None:
         # numpy fallback: brute force per scene
         qs = rs = 0

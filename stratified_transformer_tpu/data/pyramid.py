@@ -153,9 +153,12 @@ def build_geometry_pyramid(xyz, offsets, mcfg):
         lvl = 1 if not cfg.stem_transformer else 0
         for i in range(cfg.layer_start, cfg.num_layers):
             cur_xyz, cur_off, n_lvl = levels[lvl]
-            d_off = np.cumsum(np.maximum(
-                np.diff(np.concatenate([[0], cur_off]))
-                // cfg.downsample_scale, 0))
+            cnts = np.diff(np.concatenate([[0], cur_off]))
+            # n // scale + 1 per non-empty scene — matches the device path
+            # (sampling.floor_ratio_counts) and the reference
+            # (model/stratified_transformer.py:283-285).
+            d_off = np.cumsum(
+                np.where(cnts > 0, cnts // cfg.downsample_scale + 1, 0))
             d_pad = n_lvl // cfg.downsample_scale + cfg.num_scenes
             cell = grid_sizes[i] * float(cfg.downsample_scale) ** 0.5
             d_idx, d_valid = host_grid_pool(

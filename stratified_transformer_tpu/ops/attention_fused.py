@@ -191,6 +191,15 @@ def stratified_attention_fused(
     # the band(+sparse_band) layouts.
     pallas_bwd = (bwd_impl == "pallas" and band % tile == 0
                   and sparse_idx is None)
+    if bwd_impl == "pallas" and not pallas_bwd:
+        import warnings
+        why = ("band %d %% tile %d != 0" % (band, tile)
+               if band % tile else "gathered sparse_idx layout")
+        warnings.warn(
+            "stratified_attention_fused: Pallas backward requested but "
+            "unavailable (%s); falling back to the jnp VJP (slower). "
+            "Round band to a multiple of tile to enable it." % why,
+            stacklevel=2)
 
     def reference(q, k, v, tq, tk, tv):
         return jnp_attn.stratified_attention(

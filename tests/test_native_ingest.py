@@ -89,3 +89,36 @@ def test_knn_grid_matches_bruteforce(rng):
         np.testing.assert_allclose(got_d, d2[qs:qe], rtol=1e-5, atol=1e-7)
         assert (idx[qs:qe] >= rs).all() and (idx[qs:qe] < re).all()
         qs, rs = qe, re
+
+
+def test_knn_grid_ring_cap_fallback(rng):
+    """Clustered scene + tiny explicit cell: the 64-ring cap is hit before
+    exactness is proven; the brute-force fallback must keep results exact
+    (cpp/ingest.cpp knn_grid)."""
+    from stratified_transformer_tpu.data import native
+
+    a = rng.uniform(0, 0.5, (40, 3)).astype(np.float32)
+    b = rng.uniform(0, 0.5, (40, 3)).astype(np.float32) + 500.0
+    r = np.concatenate([a, b]).astype(np.float32)
+    q = a[:5].copy()
+    qo = np.array([5], np.int64)
+    ro = np.array([80], np.int64)
+    # cell=0.1 -> the far cluster sits ~5000 rings away, far past the cap
+    idx, d2 = native.knn(q, qo, r, ro, k=50, cell=0.1, with_dist=True)
+    dist = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    want_d = np.sort(dist, axis=1)[:, :50]
+    assert (idx >= 0).all()
+    np.testing.assert_allclose(np.sort(d2, 1), want_d, rtol=1e-5)
+
+
+def test_knn_padded_rows_deterministic(rng):
+    """Rows past query_offsets[-1] must be -1 / 1e10, not uninitialized."""
+    from stratified_transformer_tpu.data import native
+
+    q = np.zeros((10, 3), np.float32)
+    r = rng.uniform(0, 1, (20, 3)).astype(np.float32)
+    qo = np.array([4], np.int64)  # 6 padded query rows
+    ro = np.array([20], np.int64)
+    idx, d2 = native.knn(q, qo, r, ro, k=3, with_dist=True)
+    assert (idx[4:] == -1).all()
+    assert (d2[4:] == 1e10).all()
