@@ -184,7 +184,11 @@ class RandomRotatePerturbation:
 
 
 class HueSaturationTranslation:
-    """HSV-space hue/saturation jitter (reference :371-430)."""
+    """HSV-space hue/saturation jitter (reference :371-430).
+
+    Operates on 0-255 rgb. Matches the reference's colorsys-derived
+    conversion exactly, including the final truncation to whole uint8
+    levels (reference ``hsv_to_rgb`` returns ``astype('uint8')``)."""
 
     def __init__(self, hue_max=0.5, saturation_max=0.2):
         self.hue_max = hue_max
@@ -192,47 +196,52 @@ class HueSaturationTranslation:
 
     @staticmethod
     def _rgb_to_hsv(rgb):
+        """h, s in [0, 1]; v on the 0-255 scale (colorsys convention)."""
         rgb = rgb.astype(np.float64)
         hsv = np.zeros_like(rgb)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         mx = rgb.max(-1)
         mn = rgb.min(-1)
-        delta = mx - mn
         hsv[..., 2] = mx
-        nz = mx > 0
-        hsv[nz, 1] = delta[nz] / mx[nz]
-        d = np.where(delta == 0, 1, delta)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        h = np.where(mx == r, (g - b) / d,
-                     np.where(mx == g, 2.0 + (b - r) / d,
-                              4.0 + (r - g) / d))
-        h = (h / 6.0) % 1.0
-        hsv[..., 0] = np.where(delta == 0, 0.0, h)
+        chroma_mask = mx != mn
+        delta = np.where(chroma_mask, mx - mn, 1.0)
+        hsv[..., 1] = np.where(chroma_mask, (mx - mn) / np.where(
+            chroma_mask, mx, 1.0), 0.0)
+        rc = np.where(chroma_mask, (mx - r) / delta, 0.0)
+        gc = np.where(chroma_mask, (mx - g) / delta, 0.0)
+        bc = np.where(chroma_mask, (mx - b) / delta, 0.0)
+        h = np.select([r == mx, g == mx], [bc - gc, 2.0 + rc - bc],
+                      default=4.0 + gc - rc)
+        hsv[..., 0] = (h / 6.0) % 1.0
         return hsv
 
     @staticmethod
     def _hsv_to_rgb(hsv):
+        """Inverse of `_rgb_to_hsv`; truncates to whole levels like the
+        reference's ``astype('uint8')``."""
         h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
         i = np.floor(h * 6.0)
         f = h * 6.0 - i
         p = v * (1 - s)
         q = v * (1 - s * f)
         t = v * (1 - s * (1 - f))
-        i = i.astype(int) % 6
-        rgb = np.select(
-            [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-            [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
-             np.stack([p, v, t], -1), np.stack([p, q, v], -1),
-             np.stack([t, p, v], -1), np.stack([v, p, q], -1)])
-        return rgb
+        i = i.astype(np.int64) % 6
+        conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
+        rgb = np.stack([
+            np.select(conditions, [v, q, p, p, t, v], default=v),
+            np.select(conditions, [v, v, v, q, p, p], default=t),
+            np.select(conditions, [v, p, t, v, v, q], default=p),
+        ], axis=-1)
+        return np.floor(rgb)
 
     def __call__(self, points, color, rng):
-        hsv = self._rgb_to_hsv(color[:, :3] / 255.0)
+        hsv = self._rgb_to_hsv(color[:, :3])
         hue_val = (rng.uniform() - 0.5) * 2 * self.hue_max
         sat_ratio = 1 + (rng.uniform() - 0.5) * 2 * self.saturation_max
         hsv[..., 0] = np.remainder(hue_val + hsv[..., 0] + 1, 1)
         hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
         color = color.copy()
-        color[:, :3] = np.clip(self._hsv_to_rgb(hsv) * 255.0, 0, 255)
+        color[:, :3] = np.clip(self._hsv_to_rgb(hsv), 0, 255)
         return points, color
 
 

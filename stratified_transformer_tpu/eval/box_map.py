@@ -56,7 +56,9 @@ def match_boxes(iou, overlap_threshold=0.5):
             claimed[j] = True
             tp_scores.append(float(row[j]))
         else:
-            fp_scores.append(float(iou[i].max()) if n_gt else 0.0)
+            # Reference scores every FP as -1 (compute_TP_FP_FN's
+            # max_overlapping stays -1), ranking FPs strictly after TPs.
+            fp_scores.append(-1.0)
     fn = n_gt - len(tp_scores)
     return tp_scores, fp_scores, fn
 
