@@ -38,7 +38,10 @@ def main():
         # bf16 MXU passes for cRPE one-hot contractions + QK/PV matmuls;
         # per-stage bands sized for <1% in-window pair truncation
         band_per_stage=(128, 128, 384, 192),
-        rpe_precision="default", qk_precision="default")
+        rpe_precision="default", qk_precision="default",
+        # Pallas fused kernels (stages 0-1) — stable with the small-program
+        # warmup below (docs/PERF_NOTES.md round-2 addendum)
+        attn_impl="fused", fused_stages=2, attn_bwd="pallas")
     model = Stratified(cfg)
 
     from stratified_transformer_tpu.data.collate import with_stem_neighbors
@@ -55,6 +58,10 @@ def main():
              # host-built geometry pyramid (prefetched by the train loader
              # in production, overlapped with the device step)
              "pyramid": build_geometry_pyramid(b.xyz, b.offsets, cfg)}
+
+    from stratified_transformer_tpu.utils.warmup import (
+        fused_attention_warmup)
+    fused_attention_warmup(cfg)
 
     schedule = multi_step(0.006, [60, 80], 0.1)
     state = create_train_state(

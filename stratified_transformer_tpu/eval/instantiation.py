@@ -156,3 +156,64 @@ def instantiate(samples, pred_offset, pred_labels, num_face_classes=6):
 def support_to_box(supp):
     """Axis-aligned box [x1,y1,z1,x2,y2,z2] of a support set."""
     return np.concatenate([supp.min(0), supp.max(0)])
+
+
+def compute_partial_iou(box_a, box_b):
+    """Partial-overlap test between two AABBs given as (center, lengths).
+
+    Returns (overlap_frac_a > 0.3, overlap_frac_b > 0.3) where
+    ``overlap_frac_x`` is intersection volume over box x's own volume —
+    i.e. "is a large share of this box inside the other".
+    Re-derivation of the reference ``compute_partial_iou``
+    (``util/train_utils.py:840-862``).
+    """
+    box_a = np.asarray(box_a, float)
+    box_b = np.asarray(box_b, float)
+    hi = np.minimum(box_a[0:3] + box_a[3:6] / 2, box_b[0:3] + box_b[3:6] / 2)
+    lo = np.maximum(box_a[0:3] - box_a[3:6] / 2, box_b[0:3] - box_b[3:6] / 2)
+    if not (hi > lo).all():
+        return False, False
+    inter = (hi - lo).prod()
+    thre = 0.3
+    return (inter / box_a[3:6].prod()) > thre, \
+        (inter / box_b[3:6].prod()) > thre
+
+
+def _aabb_center_lengths(pts):
+    lo, hi = pts.min(0), pts.max(0)
+    return np.concatenate([(lo + hi) / 2, hi - lo])
+
+
+def merge_instances(instances, pc_thre=0.2, min_neighbors=10):
+    """Greedy bbox merging of instance supports (fork post-processing).
+
+    Each pass pops the first instance and absorbs every remaining instance
+    whose axis-aligned bbox overlaps it by >30% of either box's volume
+    (``compute_partial_iou``) AND that is placed seamlessly against it
+    (more than ``min_neighbors`` of its points within ``pc_thre`` of the
+    current instance); the concatenated group is re-appended at the end.
+    Runs one pass per *original* instance. Re-derivation of the reference
+    merge loop (``test.py:296-327``).
+    """
+    inst_list = [np.asarray(x) for x in instances]
+    if len(inst_list) < 2:
+        return inst_list
+    for _ in range(len(inst_list)):
+        cur = inst_list.pop(0)
+        cur_box = _aabb_center_lengths(cur)
+        merged = [cur]
+        remain = []
+        for targ in inst_list:
+            ov1, ov2 = compute_partial_iou(
+                cur_box, _aabb_center_lengths(targ))
+            seamless = False
+            if ov1 or ov2:
+                d = np.min(distance.cdist(cur, targ), axis=0)
+                seamless = np.sum(d < pc_thre) > min_neighbors
+            if (ov1 or ov2) and seamless:
+                merged.append(targ)
+            else:
+                remain.append(targ)
+        remain.append(np.concatenate(merged) if len(merged) > 1 else cur)
+        inst_list = remain
+    return inst_list

@@ -43,6 +43,8 @@ class WindowAttention(nn.Module):
     qk_precision: str = "highest"  # QK^T / PV contraction precision
     remat: str = "full"            # "full" | "save_p" | "none"
     s_band: int = 256              # sparse-band aux window per query tile
+    rpe_mode: str = "stratified"   # "stratified" | "swin_window"
+    shift_size: float = 0.0        # swin_window: this block's window shift
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -50,9 +52,15 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         d = c // h
         scale = self.qk_scale or d ** -0.5
-        # quant_grid_length, reference :142
-        lq = int((2 * self.window_size + 1e-4) // self.quant_size)
-        nbins = 2 * lq
+        if self.rpe_mode == "swin_window":
+            # table rows 2*qgl - 1, qgl = int(window/quant)
+            # (reference model/swin3d_transformer.py:109-118)
+            lq = int(self.window_size / self.quant_size)
+            nbins = 2 * lq - 1
+        else:
+            # quant_grid_length, reference :142
+            lq = int((2 * self.window_size + 1e-4) // self.quant_size)
+            nbins = 2 * lq
 
         qkv = dense(3 * c, use_bias=self.qkv_bias, name="qkv",
                     dtype=self.dtype)(feats)
@@ -69,12 +77,26 @@ class WindowAttention(nn.Module):
         tk = table("rel_key_table") if self.rel_key else None
         tv = table("rel_value_table") if self.rel_value else None
 
-        if self.impl == "fused":
+        rpe_xyz = plan.xyz_sorted
+        impl = self.impl
+        if self.rpe_mode == "swin_window":
+            # per-point window-quantized position
+            # u = floor(((xyz - min + shift) % window) / quant)
+            # (reference swin3d_transformer.py:151-154); the relative bin is
+            # then u_i - u_j + qgl - 1, computed inside the attention op.
+            xs = plan.xyz_sorted
+            origin = jnp.min(
+                jnp.where(plan.valid_sorted[:, None], xs, jnp.inf), axis=0)
+            r = jnp.mod(xs - origin + self.shift_size, self.window_size)
+            rpe_xyz = jnp.floor(r / self.quant_size)
+            impl = "reference"  # Pallas kernels implement stratified bins
+
+        if impl == "fused":
             from stratified_transformer_tpu.ops.attention_fused import (
                 stratified_attention_fused)
 
             out_sorted = stratified_attention_fused(
-                q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                q, k, v, rpe_xyz, plan.seg_start, plan.seg_end,
                 plan.valid_sorted,
                 sparse_band=plan.sparse_band,
                 table_q=tq, table_k=tk, table_v=tv,
@@ -88,7 +110,7 @@ class WindowAttention(nn.Module):
             )
         else:
             out_sorted = attn_ops.stratified_attention(
-                q, k, v, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                q, k, v, rpe_xyz, plan.seg_start, plan.seg_end,
                 plan.valid_sorted,
                 sparse_idx=plan.sparse_idx, sparse_mask=plan.sparse_mask,
                 table_q=tq, table_k=tk, table_v=tv,
@@ -98,6 +120,7 @@ class WindowAttention(nn.Module):
                 rpe_precision=self.rpe_precision,
                 qk_precision=self.qk_precision, remat=self.remat,
                 sparse_band=plan.sparse_band, s_band=self.s_band,
+                rpe_mode=self.rpe_mode,
             )
         out = out_sorted[plan.inv_order].reshape(n, c).astype(feats.dtype)
         return dense(c, name="proj", dtype=self.dtype)(out)
@@ -128,6 +151,8 @@ class Block(nn.Module):
     qk_precision: str = "highest"
     remat: str = "full"
     s_band: int = 256
+    rpe_mode: str = "stratified"
+    shift_size: float = 0.0
 
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
@@ -143,7 +168,8 @@ class Block(nn.Module):
             w_chunk=self.w_chunk, interpret=self.interpret,
             dtype=self.dtype, rpe_precision=self.rpe_precision,
             qk_precision=self.qk_precision, remat=self.remat,
-            s_band=self.s_band, name="attn",
+            s_band=self.s_band, rpe_mode=self.rpe_mode,
+            shift_size=self.shift_size, name="attn",
         )(x, plan, training=training)
         if training and self.drop_path_rate > 0:
             x = drop_path(

@@ -134,7 +134,7 @@ class TransitionDown(nn.Module):
     knn_chunk: Optional[int] = 4096  # query chunk (VMEM-resident tiles)
 
     @nn.compact
-    def __call__(self, feats, xyz, offsets, precomp=None):
+    def __call__(self, feats, xyz, offsets, precomp=None, origin=None):
         if precomp is not None:
             # host-computed level (data.pyramid): sample indices, offsets
             # and the kNN graph arrive with the batch
@@ -159,7 +159,8 @@ class TransitionDown(nn.Module):
 
         if self.sampler == "grid":
             idx, out_valid = sampling.grid_pool_sampling(
-                xyz, offsets, new_offsets, self.out_pad, self.grid_cell)
+                xyz, offsets, new_offsets, self.out_pad, self.grid_cell,
+                origin=origin)
         elif self.sampler == "blocked_fps":
             idx, out_valid = sampling.blocked_fps(
                 xyz, offsets, new_offsets, self.out_pad,

@@ -85,6 +85,12 @@ class StratifiedConfig:
     tile: int = 128                           # attention query tile
     sparse_cap: int = 48                      # sparse keys per large window
     use_stratified: bool = True               # False => plain Swin3D windows
+    # "stratified": continuous-coordinate quantized bins spanning +-2*window
+    # (model/stratified_transformer.py:186-190). "swin_window": the vanilla
+    # Swin3D scheme — per-point window-quantized positions, bins u_i - u_j +
+    # qgl - 1 over 2*qgl-1 table rows (model/swin3d_transformer.py:129-154);
+    # window-dense only (requires use_stratified=False).
+    rpe_mode: str = "stratified"
     sampler: str = "grid"                     # "fps" | "grid"
     knn_chunk: int = 1024
     neighbor_method: str = "grid"             # "grid" cell-list | "brute"
@@ -162,7 +168,7 @@ class BasicLayer(nn.Module):
 
     @nn.compact
     def __call__(self, feats, xyz, offsets, *, training: bool,
-                 is_down_pre=None):
+                 is_down_pre=None, anchor=None):
         cfg = self.cfg
         i = self.stage
         n = xyz.shape[0]
@@ -185,7 +191,7 @@ class BasicLayer(nn.Module):
             if cfg.sampler == "grid":
                 cell = cfg.grid_sizes()[i] * float(cfg.downsample_scale) ** 0.5
                 d_idx, d_valid = sampling.grid_pool_sampling(
-                    xyz, offsets, d_offsets, d_pad, cell)
+                    xyz, offsets, d_offsets, d_pad, cell, origin=anchor)
             elif cfg.sampler == "blocked_fps":
                 cell = cfg.window_sizes()[i] * 4.0
                 d_idx, d_valid = sampling.blocked_fps(
@@ -200,7 +206,7 @@ class BasicLayer(nn.Module):
             build_attention_plan(
                 xyz, batch, valid, ws, shifted=bool(parity),
                 is_down=is_down, sparse_cap=cfg.sparse_cap,
-                aux_pad=aux_pad)
+                aux_pad=aux_pad, anchor=anchor)
             for parity in (0, 1)
         ]
 
@@ -221,6 +227,8 @@ class BasicLayer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio, band=band, tile=cfg.tile,
                 tile_batch=cfg.tile_batch, remat=cfg.attn_remat,
                 impl=impl, bwd_impl=cfg.attn_bwd,
+                rpe_mode=cfg.rpe_mode,
+                shift_size=(ws / 2.0) if (b % 2) else 0.0,
                 w_chunk=cfg.w_chunk,
                 interpret=cfg.pallas_interpret, dtype=cfg.compute_dtype,
                 rpe_precision=cfg.rpe_precision,
@@ -235,7 +243,8 @@ class Stratified(nn.Module):
 
     @nn.compact
     def __call__(self, feats, xyz, offsets, *, training: bool = False,
-                 stem_nidx=None, stem_nmask=None, pyramid=None):
+                 stem_nidx=None, stem_nmask=None, pyramid=None,
+                 anchor=None):
         """feats ``[N_pad, C_in]``, xyz ``[N_pad, 3]``, offsets ``[B]``.
 
         ``pyramid``: optional HOST-computed geometry pyramid
@@ -249,6 +258,11 @@ class Stratified(nn.Module):
         the input pipeline can supply them prefetched and off the device
         critical path (`data.collate.with_stem_neighbors`). When absent they
         are computed on-device (whole-scene inference path).
+
+        ``anchor``: optional ``[3]`` global grid origin for every window /
+        pooling grid (default: batch min of valid points, the reference's
+        ``xyz.min(0)``). Sharded halo inference passes the whole-scene
+        anchor so all blocks share one grid (`parallel.halo`).
 
         Returns ``(logits [N_pad, num_classes], shift [N_pad, 3] | None)``.
         """
@@ -308,14 +322,15 @@ class Stratified(nn.Module):
                 knn_cap=cfg.neighbor_cap,
                 knn_chunk=cfg.grid_knn_chunk,
             )(feats, xyz, offsets,
-              precomp=down_pre.pop(0) if down_pre else None)
+              precomp=down_pre.pop(0) if down_pre else None, origin=anchor)
             cap_i = 1
 
         for i in range(cfg.layer_start, cfg.num_layers):
             feats = BasicLayer(cfg, i, name=f"layer_{i}")(
                 feats, xyz, offsets, training=training,
                 is_down_pre=(sd_pre.pop(0)["is_down"]
-                             if sd_pre is not None else None))
+                             if sd_pre is not None else None),
+                anchor=anchor)
             feats_stack.append(feats)
             xyz_stack.append(xyz)
             off_stack.append(offsets)
@@ -333,7 +348,8 @@ class Stratified(nn.Module):
                     knn_cap=cfg.neighbor_cap,
                     knn_chunk=cfg.grid_knn_chunk,
                 )(feats, xyz, offsets,
-                  precomp=down_pre.pop(0) if down_pre else None)
+                  precomp=down_pre.pop(0) if down_pre else None,
+                  origin=anchor)
 
         feats = feats_stack.pop()
         xyz = xyz_stack.pop()

@@ -49,6 +49,27 @@ def relative_position_index(rel, window_size, quant_size, num_bins):
     return jnp.clip(ridx, 0, num_bins - 1).astype(jnp.int32)
 
 
+def swin_relative_position_index(rel_quant, num_bins):
+    """Swin3D's window-quantized relative bin per axis.
+
+    The caller pre-quantizes each point's in-window position
+    ``u = floor(((xyz - xyz.min(0) + shift) % window) / quant)`` (reference
+    ``model/swin3d_transformer.py:151-154``) and passes ``rel_quant =
+    u_i - u_j`` (integer-valued float); the bin is ``rel + qgl - 1``
+    (``map_func``, :129-130) with ``num_bins = 2*qgl - 1`` table rows
+    (:110-118). Exact: the subtraction of small integers is exact in fp32.
+    """
+    qgl = (num_bins + 1) // 2
+    ridx = jnp.round(rel_quant).astype(jnp.int32) + (qgl - 1)
+    return jnp.clip(ridx, 0, num_bins - 1)
+
+
+def _rel_index(rel, window_size, quant_size, num_bins, rpe_mode):
+    if rpe_mode == "swin_window":
+        return swin_relative_position_index(rel, num_bins)
+    return relative_position_index(rel, window_size, quant_size, num_bins)
+
+
 def _prec(name):
     return (jax.lax.Precision.HIGHEST if name == "highest"
             else jax.lax.Precision.DEFAULT)
@@ -127,6 +148,7 @@ def pair_attention_reference(
     table_q=None,
     table_k=None,
     table_v=None,
+    rpe_mode="stratified",
 ):
     """Oracle: reference math over explicit pair lists.
 
@@ -155,7 +177,7 @@ def pair_attention_reference(
             table_k if table_k is not None else table_v)
         num_bins = t.shape[0]
         rel = xyz[pi] - xyz[pj]
-        ridx = relative_position_index(rel, window_size, quant_size, num_bins)
+        ridx = _rel_index(rel, window_size, quant_size, num_bins, rpe_mode)
     if table_q is not None:
         # bias_q[m,h] = sum_a q_i . T_q[ridx_a, h, :, a]
         tq = table_q.astype(jnp.float32)
@@ -223,6 +245,7 @@ def sparse_band_triple(
     rpe_precision="highest",
     qk_precision="highest",
     remat="full",
+    rpe_mode="stratified",
 ):
     """Stratified far-key attention over the band-structured aux layout.
 
@@ -390,6 +413,7 @@ def stratified_attention(
     remat="full",
     sparse_band=None,
     s_band=256,
+    rpe_mode="stratified",
 ):
     """Fused banded + sparse window attention (production jnp path).
 
@@ -425,6 +449,11 @@ def stratified_attention(
     """
     n, h, d = q.shape
     assert n % tile == 0, (n, tile)
+    if rpe_mode == "swin_window":
+        # Swin3D has no stratified sparse half; its quantized coords are
+        # only defined within a window (reference swin3d_transformer.py)
+        assert sparse_idx is None and sparse_band is None, \
+            "swin_window RPE is window-dense only"
     nt = n // tile
     w = tile + 2 * band
 
@@ -472,7 +501,11 @@ def stratified_attention(
     tqb = tkb = tvb = None
     b0 = 0
     nb_band = num_bins
-    if use_rpe:
+    if use_rpe and rpe_mode == "swin_window":
+        # swin-window bins already span exactly the in-window range
+        # (2*qgl-1 rows) -- no band slice applies
+        tqb, tkb, tvb = tqf, tkf, tvf
+    elif use_rpe:
         qgl = num_bins // 2
         b0 = max(qgl // 2 - 1, 0)
         b1 = min(num_bins, (3 * qgl + 1) // 2 + 2)
@@ -508,8 +541,8 @@ def stratified_attention(
         ohs_b = None
         if use_rpe:
             rel_b = x_t[:, None, :] - x_b[None, :, :]             # [T,W,3]
-            ridx_b = relative_position_index(
-                rel_b, window_size, quant_size, num_bins)
+            ridx_b = _rel_index(
+                rel_b, window_size, quant_size, num_bins, rpe_mode)
             # shift into the band slice (exact for in-window pairs)
             ridx_b = jnp.clip(ridx_b - b0, 0, nb_band - 1)
             bins = jnp.arange(nb_band, dtype=jnp.int32)
@@ -551,8 +584,8 @@ def stratified_attention(
             oh_s = None
             if use_rpe:
                 rel_s = x_t[:, None, :] - x_s                      # [T,S,3]
-                ridx_s = relative_position_index(
-                    rel_s, window_size, quant_size, num_bins)
+                ridx_s = _rel_index(
+                    rel_s, window_size, quant_size, num_bins, rpe_mode)
                 bins = jnp.arange(num_bins, dtype=jnp.int32)
                 oh_s = [
                     (ridx_s[:, :, a, None] == bins).astype(oh_dtype)

@@ -145,13 +145,18 @@ def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
               sparse_mask, table_q, table_k, table_v, *, window_size,
               quant_size, scale, band, tile, w_chunk, interpret,
               sparse_band=None, s_band=256, fast=False):
-    parts = [band_attention(
+    import os
+    skip_band = bool(os.environ.get("ST_DEBUG_SKIP_BAND"))
+    skip_sparse = bool(os.environ.get("ST_DEBUG_SKIP_SPARSE"))
+    parts = [] if skip_band else [band_attention(
         q, k, v, xyz, seg_start, seg_end, valid,
         table_q, table_k, table_v,
         window_size=window_size, quant_size=quant_size, scale=scale,
         band=band, tile=tile, w_chunk=w_chunk, interpret=interpret,
         fast=fast)]
-    if sparse_band is not None:
+    if skip_sparse:
+        pass
+    elif sparse_band is not None:
         parts.append(sparse_band_attention(
             q, k, v, sparse_band,
             table_q=table_q, table_k=table_k, table_v=table_v,

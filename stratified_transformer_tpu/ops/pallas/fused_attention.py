@@ -28,6 +28,7 @@ merged by online-softmax composition in
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,10 @@ from stratified_transformer_tpu.ops.pallas.common import (
 )
 
 NEG_INF = -1e30
+
+# scoped-VMEM ceiling for the kernels (v5e: 128MB physical)
+_VMEM_MB = int(os.environ.get("ST_PALLAS_VMEM_MB", "100"))
+_DISABLE_BOUNDS = bool(os.environ.get("ST_PALLAS_DISABLE_BOUNDS"))
 
 
 def _band_kernel(
@@ -590,7 +595,8 @@ def sparse_band_attention(
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024,
+            disable_bounds_checks=_DISABLE_BOUNDS),
         interpret=interpret,
     )(bases, q_lw, ks, ke, skq, xq, kx, vx, xx, skx, tq, tk, tv)
     # back to small-sorted order
@@ -711,7 +717,8 @@ def band_attention(
         grid_spec=grid_spec,
         # v5e has 128MB VMEM; the compiler's default scoped limit is 16MB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024,
+            disable_bounds_checks=_DISABLE_BOUNDS),
         interpret=interpret,
     )(qf, ss, se, kx, vx, xx, tq, tk, tv)
     return acc.reshape(n, h, d), m, den

@@ -31,6 +31,7 @@ their parameter gradients add.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,10 @@ from stratified_transformer_tpu.ops.pallas.common import (
 )
 
 NEG_INF = -1e30
+
+# scoped-VMEM ceiling for the kernels (v5e: 128MB physical)
+_VMEM_MB = int(os.environ.get("ST_PALLAS_VMEM_MB", "100"))
+_DISABLE_BOUNDS = bool(os.environ.get("ST_PALLAS_DISABLE_BOUNDS"))
 
 
 def _band_bwd_kernel(
@@ -377,7 +382,8 @@ def band_attention_bwd(
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024,
+            disable_bounds_checks=_DISABLE_BOUNDS),
         interpret=interpret,
     )(qf, gf, of, m, den, ss, se, kx, vx, xx, tq, tk, tv)
 
@@ -780,7 +786,8 @@ def sparse_band_attention_bwd(
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024,
+            disable_bounds_checks=_DISABLE_BOUNDS),
         interpret=interpret,
     )(bases, q_lw, g_lw, o_lw, m_lw, den_lw, ks, ke, skq, xq_in,
       kx, vx, xx, skx, tq, tk, tv)

@@ -105,6 +105,7 @@ def build_attention_plan(
     sparse_cap=64,
     aux_pad=None,
     with_sparse_gather=False,
+    anchor=None,
 ):
     """Build the attention layout for one shift parity.
 
@@ -132,7 +133,11 @@ def build_attention_plan(
     batch = jnp.asarray(batch)
     valid = jnp.asarray(valid)
     n = xyz.shape[0]
-    start = hashing.masked_min(xyz, valid)
+    # window grid origin: the batch min of valid points (reference
+    # grid_sample start=xyz.min(0)), or an explicit global anchor so that
+    # spatial blocks of one scene share a single window grid (halo path)
+    start = (jnp.asarray(anchor, jnp.float32) if anchor is not None
+             else hashing.masked_min(xyz, valid))
     shift_small = 0.5 * ws if shifted else 0.0
     cells_small = hashing.window_cells(xyz, ws, start=start, shift=shift_small)
     key_small = hashing.window_keys(cells_small, batch, valid)

@@ -129,8 +129,13 @@ def farthest_point_sampling(xyz, offsets, new_offsets, out_pad, *, max_steps=Non
     return out, out_valid
 
 
-def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size):
+def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size,
+                       origin=None):
     """Fast approximate FPS: keep the center-most point of each grid cell.
+
+    ``origin``: optional explicit ``[3]`` grid anchor. Default is the batch
+    min of valid points; sharded halo inference passes the global scene
+    anchor so every block shares one cell grid (parallel/halo.py).
 
     Deterministic, O(N log N), fully parallel. Per-scene sample counts are
     capped at the `new_offsets` targets (extra representatives are dropped in
@@ -149,7 +154,10 @@ def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size):
     new_counts = (new_offsets - new_starts).astype(jnp.int32)
 
     xyz32 = xyz.astype(jnp.float32)
-    mins = jnp.min(jnp.where(valid[:, None], xyz32, BIG), axis=0)
+    if origin is None:
+        mins = jnp.min(jnp.where(valid[:, None], xyz32, BIG), axis=0)
+    else:
+        mins = jnp.asarray(origin, jnp.float32)
     cells = jnp.floor((xyz32 - mins) / cell_size).astype(jnp.int32)
     hi = jnp.max(jnp.where(valid[:, None], cells, 0), axis=0) + 1
     key = jnp.clip(batch, 0, num_scenes)

@@ -151,12 +151,17 @@ def main():
             bool(cfg.get("concat_xyz", True)), bst)
         objs = instantiation.instantiate(
             np.asarray(coord), pred_shift, pred_labels)
+        n_raw = len(objs)
+        if bool(cfg.get("merge_instances", True)):
+            # fork bbox merge: partial-IoU + seamlessness agglomeration
+            # (reference test.py:296-327 / test_iou.py:374-407)
+            objs = instantiation.merge_instances(objs)
         pred_boxes = np.asarray(
             [instantiation.support_to_box(o) for o in objs]).reshape(-1, 6)
         tp, fp, fn = det.evaluate(pred_boxes, gt_boxes)
         logger.info(
-            f"scene {i}: {len(objs)} objects, TP/FP/FN {tp}/{fp}/{fn} "
-            f"({time.time() - t0:.1f}s)")
+            f"scene {i}: {n_raw} -> {len(objs)} objects after merge, "
+            f"TP/FP/FN {tp}/{fp}/{fn} ({time.time() - t0:.1f}s)")
     s = det.summary()
     logger.info(f"Detection: {s}")
 

@@ -118,3 +118,66 @@ def test_extra_schedulers():
     assert float(oc(jnp.asarray(0))) < 0.1
     assert abs(float(oc(jnp.asarray(30))) - 1.0) < 1e-5
     assert float(oc(jnp.asarray(100))) < 0.01
+
+
+def test_compute_partial_iou_cases():
+    # identical boxes: full overlap both ways
+    a = np.array([0, 0, 0, 1, 1, 1], float)
+    assert instantiation.compute_partial_iou(a, a) == (True, True)
+    # disjoint boxes
+    b = np.array([5, 5, 5, 1, 1, 1], float)
+    assert instantiation.compute_partial_iou(a, b) == (False, False)
+    # small box fully inside big box: >30% of small only
+    small = np.array([0, 0, 0, 0.5, 0.5, 0.5], float)
+    big = np.array([0, 0, 0, 2, 2, 2], float)
+    ov_big, ov_small = instantiation.compute_partial_iou(big, small)
+    assert (ov_big, ov_small) == (False, True)
+    # touching boxes (zero-volume intersection) do not overlap
+    c = np.array([1, 0, 0, 1, 1, 1], float)
+    assert instantiation.compute_partial_iou(a, c) == (False, False)
+
+
+def test_merge_instances_adjacent_cuboids(rng):
+    """Two interpenetrating, seamlessly-adjacent supports merge into one
+    object; a distant third survives. Hand-computed: grids of 400 points at
+    0.05 spacing, B shifted +0.9 in x -> intersection 0.1x1x0 ... use
+    overlapping slabs with >30% volume overlap and >10 contact points."""
+    def slab(origin, size=(1.0, 1.0, 0.3), step=0.05):
+        xs = np.arange(0, size[0] + 1e-9, step)
+        ys = np.arange(0, size[1] + 1e-9, step)
+        zs = np.arange(0, size[2] + 1e-9, step)
+        g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1)
+        return g.reshape(-1, 3) + np.asarray(origin)
+
+    a = slab((0.0, 0.0, 0.0))
+    b = slab((0.5, 0.0, 0.0))       # 50% x-overlap with a, touching points
+    far = slab((10.0, 0.0, 0.0))
+    out = instantiation.merge_instances([a, b, far])
+    assert len(out) == 2
+    sizes = sorted(len(o) for o in out)
+    assert sizes == [len(far), len(a) + len(b)]
+    # non-adjacent but overlapping boxes do NOT merge (seamlessness gate):
+    # sparse far-apart points whose AABBs overlap
+    sp_a = np.array([[0, 0, 0], [1, 1, 1.0]])
+    sp_b = np.array([[0.1, 0.1, 0.4], [0.9, 0.9, 0.6]])
+    out2 = instantiation.merge_instances([sp_a, sp_b])
+    assert len(out2) == 2
+
+
+def test_merge_instances_chain_reappended():
+    """Reference loop re-appends the merged group at the END and runs one
+    pass per original instance -> a chain a-b-c collapses fully even when
+    a and c are not directly mergeable (their boxes only touch)."""
+    def slab(x0, size=(1.0, 1.0, 0.3), step=0.05):
+        xs = np.arange(0, size[0] + 1e-9, step)
+        ys = np.arange(0, size[1] + 1e-9, step)
+        zs = np.arange(0, size[2] + 1e-9, step)
+        g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1)
+        return g.reshape(-1, 3) + np.array([x0, 0.0, 0.0])
+
+    a, b, c = slab(0.0), slab(0.5), slab(1.0)
+    # a-c boxes only touch (zero-volume intersection) -> not mergeable
+    # directly; b bridges them across passes
+    out = instantiation.merge_instances([a, c, b])
+    assert len(out) == 1
+    assert len(out[0]) == 3 * len(a)

@@ -74,3 +74,94 @@ def test_sharded_probs_match_full_forward(rng):
         jax.jit(predict), coord, feat, 3, mesh=mesh, n_pad=1024,
         concat_xyz=False, halo=2 * ws)
     np.testing.assert_allclose(probs, full, rtol=1e-4, atol=1e-5)
+
+
+def _real_model_setup(rng, n_scene=6000):
+    """Full Stratified model + a scene sized so no capacity cap binds
+    (downsample quota > occupied cells; see sparse/band margins below) —
+    block-vs-full forward can then be exact."""
+    from stratified_transformer_tpu.models.stratified import (
+        Stratified, StratifiedConfig)
+
+    # surface-ish scene: floor + walls + blobs in a 4 x 2 x 0.6 box
+    f = rng.uniform(0, 1, (n_scene // 2, 3)) * [4.0, 2.0, 0.02]
+    w = rng.uniform(0, 1, (n_scene // 4, 3)) * [4.0, 0.02, 0.6]
+    b = rng.uniform(0, 1, (n_scene // 4, 3)) * [0.8, 0.8, 0.5] + [1.5, 0.6, 0]
+    coord = np.concatenate([f, w, b]).astype(np.float32)
+    feat = rng.normal(size=(len(coord), 3)).astype(np.float32)
+
+    cfg = StratifiedConfig(
+        num_classes=5, in_channels=6, n_pad=0, num_scenes=1,
+        depths=(1, 1), channels=(16, 32), num_heads=(2, 4), num_layers=2,
+        grid_size=0.08, window_size=4, patch_size=1, quant_size=0.02,
+        downsample_scale=4, band=128, tile=32, sparse_cap=64,
+        sampler="grid", stem_transformer=True, drop_path_rate=0.0)
+    return cfg, coord, feat
+
+
+def _apply_full(cfg, coord, feat, n_pad):
+    import dataclasses
+    import jax.numpy as jnp
+    from stratified_transformer_tpu.models.stratified import Stratified
+
+    mcfg = dataclasses.replace(cfg, n_pad=n_pad, num_scenes=1)
+    model = Stratified(mcfg)
+    n = len(coord)
+    xyz = np.zeros((n_pad, 3), np.float32)
+    xyz[:n] = coord - coord.min(0)
+    feats = np.zeros((n_pad, 6), np.float32)
+    feats[:n] = np.concatenate([feat, xyz[:n]], 1)
+    offsets = np.array([n], np.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats, xyz, offsets)
+
+    def predict(feats_, xyz_, off_):
+        logits, _ = model.apply(variables, feats_, xyz_, off_,
+                                training=False,
+                                anchor=jnp.zeros((3,), jnp.float32))
+        return jax.nn.softmax(logits, -1)
+
+    return model, variables, jax.jit(predict)(feats, xyz, offsets)[:n]
+
+
+def test_sharded_real_model_matches_full_forward(rng):
+    """VERDICT #3: the REAL Stratified net, sharded across 4 blocks with the
+    derived receptive halo, reproduces the whole-scene forward on every core
+    point; a halo/4 control diverges (the test bites)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from stratified_transformer_tpu.models.stratified import Stratified
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, coord, feat = _real_model_setup(rng)
+    n = len(coord)
+    n_pad_full = ((n + 127) // 128) * 128
+    model, variables, full_probs = _apply_full(cfg, coord, feat, n_pad_full)
+
+    mesh = make_mesh(4)
+    block_pad = ((n // 2 + 127) // 128) * 128  # blocks + halo fit in half
+    mcfg_b = dataclasses.replace(cfg, n_pad=block_pad, num_scenes=1)
+    model_b = Stratified(mcfg_b)
+
+    @jax.jit
+    def predict_blocks(feats_b, xyz_b, offsets_b):
+        def one(feats_, xyz_, off_):
+            logits, _ = model_b.apply(
+                variables, feats_, xyz_, off_.astype(jnp.int32),
+                training=False, anchor=jnp.zeros((3,), jnp.float32))
+            return jax.nn.softmax(logits, -1)
+        return jax.vmap(one)(feats_b, xyz_b, offsets_b)
+
+    hw = halo.receptive_halo(cfg)
+    probs = halo.sharded_scene_probs(
+        predict_blocks, coord, feat, cfg.num_classes, mesh=mesh,
+        n_pad=block_pad, concat_xyz=True, halo=hw)
+    np.testing.assert_allclose(probs, np.asarray(full_probs),
+                               rtol=2e-4, atol=2e-5)
+
+    # control: a quarter halo must NOT reproduce the full forward
+    probs_bad = halo.sharded_scene_probs(
+        predict_blocks, coord, feat, cfg.num_classes, mesh=mesh,
+        n_pad=block_pad, concat_xyz=True, halo=hw / 4)
+    err = np.abs(probs_bad - np.asarray(full_probs)).max()
+    assert err > 1e-3, f"halo/4 control unexpectedly exact (max err {err})"

@@ -479,3 +479,74 @@ def test_instantiation_parity(rng, tmp_path):
     # voxel_down_sample averages per voxel (open3d) vs representative-point
     # downsampling on our side: AABBs agree within one 4 cm voxel.
     np.testing.assert_allclose(boxes(got_out), boxes(ref_out), atol=0.05)
+
+
+def test_compute_partial_iou_parity(rng):
+    """Reference ``compute_partial_iou`` (util/train_utils.py:840-862) vs
+    ``eval.instantiation.compute_partial_iou`` on random box pairs."""
+    tu = load_ref("util/train_utils.py")
+    from stratified_transformer_tpu.eval import instantiation as ours
+
+    for _ in range(300):
+        a = np.concatenate([rng.uniform(-1, 1, 3), rng.uniform(0.1, 2, 3)])
+        b = np.concatenate([rng.uniform(-1, 1, 3), rng.uniform(0.1, 2, 3)])
+        ref = tu.compute_partial_iou(a.copy(), b.copy())
+        got = ours.compute_partial_iou(a, b)
+        assert tuple(map(bool, ref)) == tuple(map(bool, got)), (a, b)
+    # identical boxes and contained boxes
+    a = np.array([0, 0, 0, 1, 1, 1.0])
+    assert tuple(map(bool, tu.compute_partial_iou(a, a))) == \
+        tuple(map(bool, ours.compute_partial_iou(a, a)))
+
+
+def test_merge_loop_parity(rng):
+    """Execute the reference's inline bbox-merge loop (test.py:296-327,
+    driven by its own ``compute_partial_iou``) on fabricated supports and
+    assert ``merge_instances`` produces the identical partition."""
+    from scipy.spatial import distance
+    tu = load_ref("util/train_utils.py")
+    from stratified_transformer_tpu.eval import instantiation as ours
+
+    def ref_merge(instances):
+        # the reference's loop verbatim in semantics (test.py:274-327),
+        # with trimesh bounding_box replaced by the numpy AABB it computes
+        inst_list = list(instances)
+        if len(instances) < 2:
+            return inst_list
+        cnt, end_cnt = 0, len(instances)
+        while cnt < end_cnt:
+            cur_inst = inst_list.pop(0)
+            merge_list, remain_list = [], [cur_inst]
+            merge_list.append(cur_inst)
+            remain_list = []
+            while len(inst_list) != 0:
+                targ_inst = inst_list.pop(0)
+                cb = np.concatenate([(cur_inst.min(0) + cur_inst.max(0)) / 2,
+                                     cur_inst.max(0) - cur_inst.min(0)])
+                tb = np.concatenate([(targ_inst.min(0) + targ_inst.max(0))
+                                     / 2,
+                                     targ_inst.max(0) - targ_inst.min(0)])
+                ov1, ov2 = tu.compute_partial_iou(cb, tb)
+                num_neighbor = np.sum(np.min(
+                    distance.cdist(cur_inst, targ_inst), axis=0) < 0.2)
+                if (ov1 or ov2) and num_neighbor > 10:
+                    merge_list.append(targ_inst)
+                else:
+                    remain_list.append(targ_inst)
+            remain_list.append(np.concatenate(merge_list))
+            inst_list = remain_list
+            cnt += 1
+        return inst_list
+
+    for trial in range(10):
+        supports = []
+        for _ in range(rng.integers(2, 7)):
+            o = rng.uniform(0, 3, 3)
+            sz = rng.uniform(0.3, 1.2, 3)
+            supports.append(o + rng.uniform(0, 1, (80, 3)) * sz)
+        ref = ref_merge([s.copy() for s in supports])
+        got = ours.merge_instances([s.copy() for s in supports])
+        assert len(ref) == len(got)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.sort(r, axis=0), np.sort(g, axis=0))

@@ -71,6 +71,8 @@ def build_model_config(cfg, n_devices):
         tile=tile,
         sparse_cap=int(cfg.get("sparse_cap", 48)),
         sampler=str(cfg.get("sampler", "grid")),
+        use_stratified=bool(cfg.get("use_stratified", True)),
+        rpe_mode=str(cfg.get("rpe_mode", "stratified")),
         bn_axis_name="data" if (
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
@@ -151,6 +153,11 @@ class BatchLoader:
         self.scenes_per_batch = spd * n_devices
         self.batches_per_epoch = max(
             len(dataset) // self.scenes_per_batch, 1)
+        # Mix3D scene mixing probability (reference collate_fn_limit_mix3d,
+        # util/data_util.py:17-58): with prob `mix3d`, consecutive scene
+        # pairs are merged into one offset entry.
+        self.mix3d_p = float(cfg.get("mix3d", 0.0)) if shuffle else 0.0
+        self._mix_rng = np.random.default_rng(seed + 101)
 
     def _make_batch(self, scene_ids):
         from stratified_transformer_tpu.data.collate import (
@@ -163,6 +170,10 @@ class BatchLoader:
         for d in range(self.n_devices):
             ids = scene_ids[d * spd:(d + 1) * spd]
             scenes = [self.dataset[i] for i in ids]
+            if self.mix3d_p > 0 and self._mix_rng.random() <= self.mix3d_p:
+                from stratified_transformer_tpu.data.collate import (
+                    mix3d_pairs)
+                scenes = mix3d_pairs(scenes)
             if mcfg.concat_xyz:
                 scenes = [with_xyz_concat(s) for s in scenes]
             b = collate_scenes(
@@ -280,6 +291,11 @@ def main():
     ignore = int(cfg.get("ignore_label", 255))
     ncls = int(cfg.get("classes", 13))
     offw = float(cfg.get("offset_weight", 1.0))
+    # axon runtime workaround: a small Mosaic-containing program must execute
+    # before the full-size fused step (docs/PERF_NOTES.md round-2 addendum)
+    from stratified_transformer_tpu.utils.warmup import (
+        fused_attention_warmup)
+    fused_attention_warmup(mcfg, logger=logger)
     if n_devices > 1:
         mesh = make_mesh(n_devices)
         step_fn = make_dp_train_step(mesh, ignore, ncls, offw)
