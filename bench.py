@@ -1,108 +1,220 @@
 """Benchmark harness: train-step throughput (points/sec) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is reported against this framework's own first recorded
-number when available (``bench_baseline.json``), else 1.0.
+number (``bench_baseline.json``).
+
+Wedge-proof by design (round-2 postmortem, docs/PERF_NOTES.md):
+  1. Device preflight in a throwaway subprocess with a hard timeout BEFORE
+     this process touches jax — a wedged axon runtime blocks every client
+     forever, so probing in-process would just hang.
+  2. A global watchdog emits the best-so-far JSON line and hard-exits if
+     anything later wedges mid-run — the driver always gets a parseable
+     line instead of rc-124-with-nothing.
+  3. Progress markers on stderr (compile/warmup/iteration timings) so a
+     timeout is diagnosable from the log tail.
+  4. Both attention paths measured in one process — jnp "reference" FIRST
+     (the guaranteed-stable baseline), Pallas "fused" second — and both
+     reported; "value" is the faster of the two.
+
+Env knobs: ST_BENCH_DEADLINE (s, default 2400), ST_BENCH_PREFLIGHT_S
+(default 420 — a healthy first trivial op has measured 185s cold on the
+axon remote-compile path), ST_BENCH_PATHS ("reference,fused"),
+ST_BENCH_N (default 40960), ST_BENCH_ITERS (default 10), ST_PEAK_FLOPS
+(default 1.97e14, TPU v5e bf16).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
+RESULT = {
+    "metric": "train_points_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "points/s",
+    "vs_baseline": 0.0,
+}
+_LOCK = threading.Lock()
+_EMITTED = False
 
-def main():
+
+def emit(extra=None, hard_exit=None):
+    global _EMITTED
+    with _LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        out = dict(RESULT)
+        if extra:
+            out.update(extra)
+        base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+        if out["value"] > 0 and os.path.exists(base_path):
+            with open(base_path) as f:
+                out["vs_baseline"] = round(
+                    out["value"] / json.load(f)["value"], 3)
+        print(json.dumps(out), flush=True)
+    if hard_exit is not None:
+        os._exit(hard_exit)
+
+
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+def _measure_path(impl: str, n_pad: int, iters: int):
+    """Build model+batch for one attention impl and time the train step.
+
+    Returns (points_per_sec, step_ms, mfu) — mfu None if flops unknown.
+    """
     import jax
-
-    from stratified_transformer_tpu.utils import enable_persistent_cache
-    enable_persistent_cache()
 
     from stratified_transformer_tpu.models.stratified import (
         Stratified, StratifiedConfig)
     from stratified_transformer_tpu.train.schedulers import multi_step
     from stratified_transformer_tpu.train.state import create_train_state
     from stratified_transformer_tpu.train.step import make_train_step
+    from stratified_transformer_tpu.data.collate import with_stem_neighbors
+    from stratified_transformer_tpu.data.pyramid import build_geometry_pyramid
     from __graft_entry__ import _example_batch
 
-    # S3DIS-scale operating point: ~40k points over 2 scenes on one chip
-    # (the reference trains batch 8 over 4 GPUs = 2 scenes/GPU,
-    # config/s3dis yaml: batch_size 8, train_gpu [0,1,2,3]).
-    n_pad = 40_960
     num_scenes = 2
     cfg = StratifiedConfig(
         num_classes=13, in_channels=6, n_pad=n_pad, num_scenes=num_scenes,
         band=128, tile=128, sparse_cap=48, sampler="grid",
-        # production settings (match configs/s3dis_stratified.yaml):
-        # bf16 MXU passes for cRPE one-hot contractions + QK/PV matmuls;
-        # per-stage bands sized for <1% in-window pair truncation
         band_per_stage=(128, 128, 384, 192),
         rpe_precision="default", qk_precision="default",
-        # Pallas fused kernels (stages 0-1) — stable with the small-program
-        # warmup below (docs/PERF_NOTES.md round-2 addendum)
-        attn_impl="fused", fused_stages=2, attn_bwd="pallas")
+        attn_impl=impl, fused_stages=2, attn_bwd="pallas")
     model = Stratified(cfg)
 
-    from stratified_transformer_tpu.data.collate import with_stem_neighbors
     b = _example_batch(n_pad, num_scenes, cfg.in_channels)
-    # stem ball-query on the host (prefetched by the train loader in
-    # production — train.py overlaps it with the device step)
     b = with_stem_neighbors(
         b, radius=2.5 * cfg.grid_size * cfg.sigma, k=cfg.max_num_neighbors)
-    from stratified_transformer_tpu.data.pyramid import (
-        build_geometry_pyramid)
     batch = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,
              "labels": b.labels, "stem_nidx": b.stem_nidx,
              "stem_nmask": b.stem_nmask,
-             # host-built geometry pyramid (prefetched by the train loader
-             # in production, overlapped with the device step)
              "pyramid": build_geometry_pyramid(b.xyz, b.offsets, cfg)}
+    log(f"{impl}: batch built ({int(b.offsets[-1])} valid points)")
 
-    from stratified_transformer_tpu.utils.warmup import (
-        fused_attention_warmup)
-    fused_attention_warmup(cfg)
+    if impl == "fused":
+        from stratified_transformer_tpu.utils.warmup import (
+            fused_attention_warmup)
+        fused_attention_warmup(cfg)
+        log("fused: small-program warmup done (axon runtime workaround)")
 
     schedule = multi_step(0.006, [60, 80], 0.1)
     state = create_train_state(
         model, jax.random.PRNGKey(0),
         (batch["feats"], batch["xyz"], batch["offsets"]), schedule)
-    # NOTE: buffer donation + Pallas custom calls trips an axon-runtime
-    # InvalidArgument on repeat executions (docs/PERF_NOTES.md); donation
-    # saves only ~150 MB of parameter/optimizer copies here, so it is
-    # enabled only on the non-Pallas path.
-    donate = (0,) if cfg.attn_impl != "fused" else ()
+    # Buffer donation + Pallas custom calls trips an axon-runtime
+    # InvalidArgument on repeat executions (docs/PERF_NOTES.md).
+    donate = (0,) if impl != "fused" else ()
     step = jax.jit(
         make_train_step(ignore_label=255, num_classes=13),
         donate_argnums=donate)
 
+    flops = None
+    try:
+        lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+        log(f"{impl}: compiled (cost_analysis flops="
+            f"{flops / 1e12:.2f}T)" if flops else f"{impl}: compiled")
+        step = compiled
+    except Exception as e:  # AOT path differences across backends
+        log(f"{impl}: lower/compile probe failed ({e!r}); jit path")
+
     rng = jax.random.PRNGKey(1)
-    # compile + warmup
+    t = time.perf_counter()
     state, stats = step(state, batch, rng)
     jax.block_until_ready(stats["loss"])
+    log(f"{impl}: first step (compile+exec) {time.perf_counter() - t:.1f}s, "
+        f"loss={float(stats['loss']):.4f}")
+    t = time.perf_counter()
+    state, stats = step(state, batch, rng)
+    jax.block_until_ready(stats["loss"])
+    log(f"{impl}: second step {1e3 * (time.perf_counter() - t):.1f} ms")
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         state, stats = step(state, batch, rng)
     jax.block_until_ready(stats["loss"])
     dt = (time.perf_counter() - t0) / iters
-
     points = int(stats["points"])
     pps = points / dt
+    peak = float(os.environ.get("ST_PEAK_FLOPS", 1.97e14))
+    mfu = (flops / dt / peak) if flops else None
+    log(f"{impl}: {iters} iters, {1e3 * dt:.1f} ms/step, {pps:,.0f} pts/s"
+        + (f", mfu={100 * mfu:.1f}%" if mfu else ""))
+    return pps, 1e3 * dt, mfu
 
-    base_path = os.path.join(os.path.dirname(__file__),
-                             "bench_baseline.json")
-    vs = 1.0
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            vs = pps / json.load(f)["value"]
-    print(json.dumps({
-        "metric": "train_points_per_sec_per_chip",
-        "value": round(pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(vs, 3),
-    }))
+
+def main():
+    deadline = float(os.environ.get("ST_BENCH_DEADLINE", 2400))
+    watchdog = threading.Timer(
+        deadline, lambda: emit({"error": "bench-deadline"}, hard_exit=0))
+    watchdog.daemon = True
+    watchdog.start()
+
+    # 1) device preflight BEFORE importing jax here (one process at a time
+    # on the chip; a wedged runtime blocks every client forever).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.preflight import probe_device
+    pf_s = float(os.environ.get("ST_BENCH_PREFLIGHT_S", 420))
+    log(f"preflight probe (timeout {pf_s:.0f}s)...")
+    pf = probe_device(pf_s, log=log)
+    log(f"preflight: {pf}")
+    preflight_extra = {}
+    if not pf["ok"]:
+        # The axon runtime's grant latency is wildly variable (a healthy
+        # first op has measured 186 s; a wedged worker hangs forever), so
+        # a failed probe is a WARNING, not a verdict: proceed under the
+        # watchdog, which emits the best-so-far JSON line at the deadline
+        # and hard-exits (killing this client frees the grant queue).
+        preflight_extra = {"preflight_warning": pf["detail"]}
+        log("preflight failed - proceeding anyway under watchdog "
+            f"(deadline {deadline:.0f}s)")
+
+    from stratified_transformer_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    log(f"jax initialised: {jax.devices()}")
+
+    n_pad = int(os.environ.get("ST_BENCH_N", 40960))
+    iters = int(os.environ.get("ST_BENCH_ITERS", 10))
+    paths = os.environ.get("ST_BENCH_PATHS", "reference,fused").split(",")
+
+    extras = dict(preflight_extra)
+    best = 0.0
+    for impl in [p.strip() for p in paths if p.strip()]:
+        try:
+            pps, ms, mfu = _measure_path(impl, n_pad, iters)
+        except Exception as e:
+            log(f"{impl}: FAILED {e!r}")
+            extras[f"{impl}_error"] = repr(e)[:200]
+            continue
+        extras[f"{impl}_pts_per_sec"] = round(pps, 1)
+        extras[f"{impl}_step_ms"] = round(ms, 1)
+        if mfu is not None:
+            extras[f"{impl}_mfu"] = round(mfu, 4)
+        if pps > best:
+            best = pps
+            RESULT["value"] = round(pps, 1)
+            if mfu is not None:
+                extras["mfu"] = round(mfu, 4)
+    emit(extras)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,28 @@ def floor_ratio_counts(offsets, ratio):
     return np.cumsum(new_counts)
 
 
+def occupied_cell_counts(xyz, offsets, cell_size):
+    """Per-scene occupied-cell counts -> new offsets (the host mirror of
+    ``down_quota: "cells"`` — ops.sampling.grid_pool_sampling_all)."""
+    xyz = np.asarray(xyz, np.float32)
+    offsets = np.asarray(offsets, np.int64)
+    total = int(offsets[-1])
+    mins = xyz[:total].min(0) if total else np.zeros(3, np.float32)
+    cells = np.floor((xyz[:total] - mins) / np.float32(cell_size)).astype(
+        np.int64)
+    counts = []
+    start = 0
+    for s in range(len(offsets)):
+        end = int(offsets[s])
+        if end > start:
+            counts.append(len(np.unique(
+                cells[start:end], axis=0)))
+        else:
+            counts.append(0)
+        start = end
+    return np.cumsum(np.asarray(counts, np.int64))
+
+
 def _round_up(n, m):
     return (n + m - 1) // m * m
 
@@ -116,11 +138,16 @@ def build_geometry_pyramid(xyz, offsets, mcfg):
         level_specs.append(("down", i))
 
     n_cur = cfg.n_pad
+    cells_quota = getattr(cfg, "down_quota", "scene") == "cells"
     for _, i in level_specs:
         cur_xyz, cur_off, _ = levels[-1]
         out_pad = _round_up(int(n_cur * cfg.ratio) + cfg.num_scenes,
                             cfg.tile)
-        new_off = floor_ratio_counts(cur_off, cfg.ratio)
+        if cells_quota:
+            new_off = np.minimum(occupied_cell_counts(
+                cur_xyz, cur_off, grid_sizes[i] * 2.0), out_pad)
+        else:
+            new_off = floor_ratio_counts(cur_off, cfg.ratio)
         idx, valid = host_grid_pool(
             cur_xyz, cur_off, new_off, out_pad, grid_sizes[i] * 2.0)
         new_xyz = cur_xyz[idx]
@@ -156,11 +183,16 @@ def build_geometry_pyramid(xyz, offsets, mcfg):
             cnts = np.diff(np.concatenate([[0], cur_off]))
             # n // scale + 1 per non-empty scene — matches the device path
             # (sampling.floor_ratio_counts) and the reference
-            # (model/stratified_transformer.py:283-285).
-            d_off = np.cumsum(
-                np.where(cnts > 0, cnts // cfg.downsample_scale + 1, 0))
+            # (model/stratified_transformer.py:283-285). "cells" mode
+            # mirrors grid_pool_sampling_all (count-independent).
             d_pad = n_lvl // cfg.downsample_scale + cfg.num_scenes
             cell = grid_sizes[i] * float(cfg.downsample_scale) ** 0.5
+            if cells_quota:
+                d_off = np.minimum(
+                    occupied_cell_counts(cur_xyz, cur_off, cell), d_pad)
+            else:
+                d_off = np.cumsum(
+                    np.where(cnts > 0, cnts // cfg.downsample_scale + 1, 0))
             d_idx, d_valid = host_grid_pool(
                 cur_xyz, cur_off, d_off, d_pad, cell)
             is_down = np.zeros(n_lvl, bool)

@@ -151,3 +151,78 @@ def evaluate_scene(
 
     pred_all /= len(transforms)
     return pred_all.argmax(-1), pred_all
+
+
+def evaluate_scene_sharded(
+    predict_blocks: Callable,
+    coord,
+    feat,
+    num_classes: int,
+    *,
+    mesh,
+    halo_width: float,
+    block_pad: int,
+    data_name: str = "s3dis",
+    voxel_size: float = 0.04,
+    concat_xyz: bool = True,
+    transforms: Optional[Sequence] = None,
+    rng=None,
+    stats: Optional[dict] = None,
+):
+    """Sharded variant of `evaluate_scene`: spatial blocks + halo exchange
+    instead of the serial sliding-sphere crop loop.
+
+    The reference covers over-sized chunks with sequential sphere crops
+    (``test_backup.py:238-251``); here each voxel-vote chunk is split into
+    one spatial slab per device with halo replication wide enough for the
+    model's receptive field (`parallel.halo`) and evaluated in ONE batched
+    sharded forward. TTA and voxel-vote chunking are protocol-identical.
+
+    Args:
+      predict_blocks: jitted ``(feats [D, block_pad, C], xyz [D, block_pad,
+        3], offsets [D, 1]) -> probs [D, block_pad, num_classes]`` sharded
+        over the leading axis.
+      stats: optional dict accumulating {"truncated_halo_points",
+        "blocks_evaluated"} across chunks.
+    """
+    from stratified_transformer_tpu.parallel import halo as halo_mod
+
+    rng = rng or np.random.default_rng(0)
+    if transforms is None:
+        transforms = tta_transforms(data_name)
+    n = coord.shape[0]
+    pred_all = np.zeros((n, num_classes), np.float64)
+
+    for tfm in transforms:
+        c, f = np.asarray(coord, np.float32).copy(), np.asarray(
+            feat, np.float32).copy()
+        if tfm is not None:
+            c, f = tfm(c, f, rng)
+        c -= c.min(0)
+        chunks = vote_chunks(c, voxel_size)
+
+        pred = np.zeros((n, num_classes), np.float64)
+        for idx_part in chunks:
+            cp, fp = c[idx_part].copy(), f[idx_part].copy()
+            cp -= cp.min(0)
+            if data_name == "s3dis":
+                fp = fp / 255.0
+            bstats: dict = {}
+            probs = halo_mod.sharded_scene_probs(
+                predict_blocks, cp, fp, num_classes, mesh=mesh,
+                n_pad=block_pad, concat_xyz=concat_xyz, halo=halo_width,
+                stats=bstats)
+            if stats is not None:
+                stats["truncated_halo_points"] = (
+                    stats.get("truncated_halo_points", 0)
+                    + bstats["truncated_halo_points"])
+                stats["blocks_evaluated"] = (
+                    stats.get("blocks_evaluated", 0)
+                    + len(bstats["block_points"]))
+            pred[idx_part] += probs
+
+        pred = pred / (pred.sum(-1, keepdims=True) + 1e-8)
+        pred_all += pred
+
+    pred_all /= len(transforms)
+    return pred_all.argmax(-1), pred_all

@@ -84,11 +84,25 @@ class WindowAttention(nn.Module):
             # u = floor(((xyz - min + shift) % window) / quant)
             # (reference swin3d_transformer.py:151-154); the relative bin is
             # then u_i - u_j + qgl - 1, computed inside the attention op.
+            # The mod origin MUST be the plan's window-grid origin (the
+            # global anchor in the sharded halo path, else the batch min):
+            # a locally recomputed min would put same-window pairs that
+            # straddle a local-min-grid boundary into wrong relative bins.
             xs = plan.xyz_sorted
-            origin = jnp.min(
-                jnp.where(plan.valid_sorted[:, None], xs, jnp.inf), axis=0)
+            if plan.grid_start is not None:
+                origin = plan.grid_start
+            else:
+                origin = jnp.min(
+                    jnp.where(plan.valid_sorted[:, None], xs, jnp.inf),
+                    axis=0)
             r = jnp.mod(xs - origin + self.shift_size, self.window_size)
             rpe_xyz = jnp.floor(r / self.quant_size)
+            if impl == "fused":
+                import warnings
+                warnings.warn(
+                    "rpe_mode='swin_window' is implemented on the jnp "
+                    "reference path only; attn_impl='fused' is coerced to "
+                    "'reference' for this layer.", stacklevel=2)
             impl = "reference"  # Pallas kernels implement stratified bins
 
         if impl == "fused":

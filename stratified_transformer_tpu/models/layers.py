@@ -132,6 +132,8 @@ class TransitionDown(nn.Module):
     knn_cell: float = 0.0         # cell-list cell size (grid method)
     knn_cap: int = 32             # cell-list capacity per cell
     knn_chunk: Optional[int] = 4096  # query chunk (VMEM-resident tiles)
+    quota: str = "scene"          # "scene" | "cells" (StratifiedConfig.
+    #                               down_quota; "cells" = grid sampler only)
 
     @nn.compact
     def __call__(self, feats, xyz, offsets, precomp=None, origin=None):
@@ -157,7 +159,12 @@ class TransitionDown(nn.Module):
         new_counts = sampling.floor_ratio_counts(counts, self.ratio)
         new_offsets = sampling.counts_to_offsets(new_counts)
 
-        if self.sampler == "grid":
+        if self.sampler == "grid" and self.quota == "cells":
+            # count-independent sampling (halo exactness; see
+            # StratifiedConfig.down_quota)
+            idx, out_valid, new_offsets = sampling.grid_pool_sampling_all(
+                xyz, offsets, self.out_pad, self.grid_cell, origin=origin)
+        elif self.sampler == "grid":
             idx, out_valid = sampling.grid_pool_sampling(
                 xyz, offsets, new_offsets, self.out_pad, self.grid_cell,
                 origin=origin)
@@ -182,7 +189,8 @@ class TransitionDown(nn.Module):
             nidx, _, nmask = neighbors.grid_knn(
                 n_xyz, out_batch, xyz, batch, valid, self.k,
                 cell=self.knn_cell, cap=self.knn_cap,
-                query_valid=out_valid, chunk=self.knn_chunk)
+                query_valid=out_valid, chunk=self.knn_chunk,
+                origin=origin)
         else:
             nidx, _, nmask = neighbors.knn(
                 n_xyz, out_batch, xyz, batch, valid, self.k,
@@ -206,7 +214,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(
         self, feats, xyz, offsets, skip_feats, skip_xyz, skip_offsets,
-        precomp=None,
+        precomp=None, origin=None,
     ):
         n_coarse = xyz.shape[0]
         n_fine = skip_xyz.shape[0]
@@ -229,7 +237,7 @@ class Upsample(nn.Module):
             lifted,
             query_valid=sampling.offsets_to_valid(skip_offsets, n_fine),
             method=self.knn_method, cell=self.knn_cell, cap=self.knn_cap,
-            grid_chunk=self.knn_chunk,
+            grid_chunk=self.knn_chunk, origin=origin,
         )
         out = dense(self.out_channels, name="linear1")(
             nn.LayerNorm(name="norm1")(skip_feats)) + interp

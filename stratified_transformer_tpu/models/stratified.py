@@ -92,6 +92,15 @@ class StratifiedConfig:
     # window-dense only (requires use_stratified=False).
     rpe_mode: str = "stratified"
     sampler: str = "grid"                     # "fps" | "grid"
+    # Downsample count policy for the grid sampler. "scene" (default):
+    # per-scene quota floor(n*ratio)+1 — reference parity
+    # (model/stratified_transformer.py:98-100,283-285). "cells": every
+    # occupied cell keeps its representative (up to capacity) — counts
+    # depend only on local geometry + the global anchor, which sharded
+    # halo inference REQUIRES for block forwards to equal the whole-scene
+    # forward (a count-derived quota drops different cells in a block
+    # than in the full scene; parallel/halo.py).
+    down_quota: str = "scene"                 # "scene" | "cells"
     knn_chunk: int = 1024
     neighbor_method: str = "grid"             # "grid" cell-list | "brute"
     neighbor_cap: int = 32                    # cell-list per-cell capacity
@@ -190,8 +199,12 @@ class BasicLayer(nn.Module):
             d_pad = n // cfg.downsample_scale + cfg.num_scenes
             if cfg.sampler == "grid":
                 cell = cfg.grid_sizes()[i] * float(cfg.downsample_scale) ** 0.5
-                d_idx, d_valid = sampling.grid_pool_sampling(
-                    xyz, offsets, d_offsets, d_pad, cell, origin=anchor)
+                if cfg.down_quota == "cells":
+                    d_idx, d_valid, _ = sampling.grid_pool_sampling_all(
+                        xyz, offsets, d_pad, cell, origin=anchor)
+                else:
+                    d_idx, d_valid = sampling.grid_pool_sampling(
+                        xyz, offsets, d_offsets, d_pad, cell, origin=anchor)
             elif cfg.sampler == "blocked_fps":
                 cell = cfg.window_sizes()[i] * 4.0
                 d_idx, d_valid = sampling.blocked_fps(
@@ -286,7 +299,8 @@ class Stratified(nn.Module):
             nidx, nmask = neighbors.radius_neighbors(
                 xyz, batch, xyz, batch, valid, radius, cfg.max_num_neighbors,
                 chunk=cfg.knn_chunk, method=cfg.neighbor_method,
-                cap=cfg.neighbor_cap, grid_chunk=cfg.grid_knn_chunk)
+                cap=cfg.neighbor_cap, grid_chunk=cfg.grid_knn_chunk,
+                origin=anchor)
         feats = KPConvSimpleBlock(
             cfg.channels[0], cfg.grid_size * cfg.sigma,
             bn_axis_name=cfg.bn_axis_name, name="stem_0",
@@ -321,6 +335,7 @@ class Stratified(nn.Module):
                 knn_cell=cfg.grid_sizes()[0] * 3.0,
                 knn_cap=cfg.neighbor_cap,
                 knn_chunk=cfg.grid_knn_chunk,
+                quota=cfg.down_quota,
             )(feats, xyz, offsets,
               precomp=down_pre.pop(0) if down_pre else None, origin=anchor)
             cap_i = 1
@@ -347,6 +362,7 @@ class Stratified(nn.Module):
                     knn_cell=cfg.grid_sizes()[i] * 3.0,
                     knn_cap=cfg.neighbor_cap,
                     knn_chunk=cfg.grid_knn_chunk,
+                    quota=cfg.down_quota,
                 )(feats, xyz, offsets,
                   precomp=down_pre.pop(0) if down_pre else None,
                   origin=anchor)
@@ -369,7 +385,8 @@ class Stratified(nn.Module):
                 knn_chunk=cfg.grid_knn_chunk,
             )(feats, xyz, offsets,
               feats_stack.pop(), xyz_stack.pop(), off_stack.pop(),
-              precomp=up_pre.pop(0) if up_pre is not None else None)
+              precomp=up_pre.pop(0) if up_pre is not None else None,
+              origin=anchor)
             up_idx += 1
 
         valid0 = sampling.offsets_to_valid(offsets, xyz.shape[0])

@@ -245,9 +245,11 @@ def sparse_band_triple(
     rpe_precision="highest",
     qk_precision="highest",
     remat="full",
-    rpe_mode="stratified",
 ):
     """Stratified far-key attention over the band-structured aux layout.
+
+    (No ``rpe_mode`` parameter: far keys exist only in stratified mode —
+    ``swin_window`` RPE is window-dense by construction.)
 
     Args:
       q/k/v: ``[N, h, d]`` in *small*-window-sorted order.

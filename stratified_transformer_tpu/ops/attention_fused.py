@@ -144,10 +144,16 @@ def _merge(parts):
 def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
               sparse_mask, table_q, table_k, table_v, *, window_size,
               quant_size, scale, band, tile, w_chunk, interpret,
-              sparse_band=None, s_band=256, fast=False):
-    import os
-    skip_band = bool(os.environ.get("ST_DEBUG_SKIP_BAND"))
-    skip_sparse = bool(os.environ.get("ST_DEBUG_SKIP_SPARSE"))
+              sparse_band=None, s_band=256, fast=False,
+              debug_skip=()):
+    """``debug_skip``: explicit kernel-bisection switch — any of
+    {"band", "sparse"}. Only the debug tools pass it
+    (tools/instability_ladder.py); the production path is env-independent.
+    Skipping both halves is a caller error (nothing left to merge)."""
+    skip_band = "band" in debug_skip
+    skip_sparse = "sparse" in debug_skip
+    assert not (skip_band and skip_sparse), (
+        "debug_skip cannot drop both attention halves")
     parts = [] if skip_band else [band_attention(
         q, k, v, xyz, seg_start, seg_end, valid,
         table_q, table_k, table_v,

@@ -118,6 +118,7 @@ def grid_knn(
     query_valid=None,
     chunk=None,
     selector="exact",
+    origin=None,
 ):
     """Cell-list k-nearest-neighbors (the TPU-native fast path).
 
@@ -143,7 +144,14 @@ def grid_knn(
     query_ok = (jnp.ones((nq,), bool) if query_valid is None
                 else jnp.asarray(query_valid))
 
-    start = hashing.masked_min(ref_xyz, ref_valid)
+    # Cell grid origin: explicit global anchor when given (sharded halo
+    # inference — a batch-min origin would shift the tessellation per
+    # block, changing which members survive the per-cell ``cap`` at dense
+    # junctions), else the batch min.
+    if origin is None:
+        start = hashing.masked_min(ref_xyz, ref_valid)
+    else:
+        start = jnp.asarray(origin, jnp.float32)
     rcells = hashing.window_cells(ref_xyz, cell, start=start)
     hi = jnp.max(jnp.where(ref_valid[:, None], rcells, 0), axis=0) + 1
     rkey = hashing.window_keys(rcells, ref_batch, ref_valid, cells_hi=hi)
@@ -281,6 +289,7 @@ def radius_neighbors(
     rings=1,
     grid_chunk=None,
     selector="exact",
+    origin=None,
 ):
     """Up-to-``k`` neighbors within ``radius`` (nearest-first).
 
@@ -299,7 +308,7 @@ def radius_neighbors(
             query_xyz, query_batch, ref_xyz, ref_batch, ref_valid, k,
             cell=float(radius) if cell is None else cell, cap=cap,
             rings=rings, radius=radius, query_valid=query_valid,
-            chunk=grid_chunk, selector=selector,
+            chunk=grid_chunk, selector=selector, origin=origin,
         )
         return idx, mask
     idx, dist, mask = knn(
@@ -329,6 +338,7 @@ def three_nn_interpolate(
     cap=32,
     rings=1,
     grid_chunk=None,
+    origin=None,
 ):
     """Inverse-distance weighted k-NN (k=3) feature interpolation.
 
@@ -342,7 +352,7 @@ def three_nn_interpolate(
         idx, dist2, mask = grid_knn(
             query_xyz, query_batch, support_xyz, support_batch,
             support_valid, k, cell=cell, cap=cap, rings=rings,
-            query_valid=query_valid, chunk=grid_chunk,
+            query_valid=query_valid, chunk=grid_chunk, origin=origin,
         )
     else:
         idx, dist2, mask = knn(

@@ -81,6 +81,11 @@ class AttentionPlan(NamedTuple):
         (-1 empty) or None — the gather layout, kept as the
         oracle-parity reference path (built on request only).
       sparse_mask: ``[N, S]`` bool or None.
+      grid_start: ``[3]`` the window grid origin this plan was built with
+        (the explicit anchor, else the batch min of valid points).
+        Consumers that quantize positions per window (swin_window RPE)
+        MUST use this origin so their modular arithmetic agrees with the
+        window partition in the sharded/anchored path.
     """
 
     order: jax.Array
@@ -92,6 +97,7 @@ class AttentionPlan(NamedTuple):
     sparse_band: Optional[SparseBandLayout] = None
     sparse_idx: Optional[jax.Array] = None
     sparse_mask: Optional[jax.Array] = None
+    grid_start: Optional[jax.Array] = None
 
 
 def build_attention_plan(
@@ -242,4 +248,5 @@ def build_attention_plan(
         sparse_band=sparse_band,
         sparse_idx=sparse_idx,
         sparse_mask=sparse_mask,
+        grid_start=start,
     )

@@ -129,29 +129,17 @@ def farthest_point_sampling(xyz, offsets, new_offsets, out_pad, *, max_steps=Non
     return out, out_valid
 
 
-def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size,
-                       origin=None):
-    """Fast approximate FPS: keep the center-most point of each grid cell.
+def _grid_reps(xyz, offsets, out_pad, cell_size, origin):
+    """Shared core of the grid poolers: center-most representative per cell.
 
-    ``origin``: optional explicit ``[3]`` grid anchor. Default is the batch
-    min of valid points; sharded halo inference passes the global scene
-    anchor so every block shares one cell grid (parallel/halo.py).
-
-    Deterministic, O(N log N), fully parallel. Per-scene sample counts are
-    capped at the `new_offsets` targets (extra representatives are dropped in
-    flat order); if a scene yields fewer representatives than its target the
-    remaining output slots alias the scene's first point and are marked
-    invalid via the per-slot count comparison downstream.
-
-    Returns the same ``(idx, valid)`` contract as `farthest_point_sampling`.
+    Returns ``(rep_orig, rep_batch, is_rep, starts, batch, n, num_scenes)``
+    in KEY-SORTED space (scene-major, then x/y/z cell lexicographic).
     """
     n = xyz.shape[0]
     num_scenes = offsets.shape[0]
     batch = offsets_to_batch(offsets, n)
     valid = offsets_to_valid(offsets, n)
     starts = _scene_starts(offsets).astype(jnp.int32)
-    new_starts = _scene_starts(new_offsets).astype(jnp.int32)
-    new_counts = (new_offsets - new_starts).astype(jnp.int32)
 
     xyz32 = xyz.astype(jnp.float32)
     if origin is None:
@@ -181,9 +169,38 @@ def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size,
         jnp.where(is_rep, idx, n), seg_id, num_segments=n
     )
     is_rep = is_rep & (idx == first_min[seg_id])
+    return order, batch[order], is_rep, starts, batch, n, num_scenes
 
-    rep_orig = order  # original index at each sorted slot
-    rep_batch = batch[order]
+
+def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size,
+                       origin=None):
+    """Fast approximate FPS: keep the center-most point of each grid cell.
+
+    ``origin``: optional explicit ``[3]`` grid anchor. Default is the batch
+    min of valid points; sharded halo inference passes the global scene
+    anchor so every block shares one cell grid (parallel/halo.py).
+
+    Deterministic, O(N log N), fully parallel. Per-scene sample counts are
+    capped at the `new_offsets` targets (extra representatives are dropped in
+    flat order); if a scene yields fewer representatives than its target the
+    remaining output slots alias the scene's first point and are marked
+    invalid via the per-slot count comparison downstream.
+
+    NOTE on the per-scene cap: the targets come from ``floor_ratio_counts``
+    — a function of the scene's TOTAL point count. When the cap binds, which
+    cells are dropped depends on that global count, so block-local results
+    can't match whole-scene results (the halo-exactness property).
+    `grid_pool_sampling_all` is the count-independent variant used by
+    sharded inference.
+
+    Returns the same ``(idx, valid)`` contract as `farthest_point_sampling`.
+    """
+    n = xyz.shape[0]
+    num_scenes = offsets.shape[0]
+    new_starts = _scene_starts(new_offsets).astype(jnp.int32)
+    new_counts = (new_offsets - new_starts).astype(jnp.int32)
+    rep_orig, rep_batch, is_rep, starts, batch, n, num_scenes = _grid_reps(
+        xyz, offsets, out_pad, cell_size, origin)
     # rank of each representative within its scene (flat sorted order)
     inc = is_rep.astype(jnp.int32)
     cum = jnp.cumsum(inc)
@@ -213,6 +230,58 @@ def grid_pool_sampling(xyz, offsets, new_offsets, out_pad, cell_size,
         slot_rank < produced[jnp.clip(slot_batch, 0, num_scenes - 1)]
     )
     return out, out_valid
+
+
+def grid_pool_sampling_all(xyz, offsets, out_pad, cell_size, origin=None):
+    """`grid_pool_sampling` WITHOUT the per-scene count quota: every
+    occupied cell keeps its representative (up to the static ``out_pad``
+    capacity).
+
+    Selection then depends only on local geometry and the (global) grid
+    ``origin`` — the property sharded halo inference needs for block-local
+    forwards to equal the whole-scene forward (``parallel/halo.py``): a
+    count-derived quota would drop different cells in a block than in the
+    full scene. The reference has no analogue (its FPS take exactly
+    ``n//scale+1`` points, ``model/stratified_transformer.py:283-285``);
+    this is the TPU build's deterministic-geometry sampler for the
+    ``down_quota: "cells"`` config mode.
+
+    Returns ``(idx [out_pad], valid [out_pad], new_offsets [B])`` —
+    ``new_offsets`` are the dynamic per-scene representative counts
+    (cumulative), clipped to ``out_pad``.
+    """
+    rep_orig, rep_batch, is_rep, starts, batch, n, num_scenes = _grid_reps(
+        xyz, offsets, out_pad, cell_size, origin)
+
+    rep_counts = jax.ops.segment_sum(
+        is_rep.astype(jnp.int32), jnp.clip(rep_batch, 0, num_scenes - 1),
+        num_segments=num_scenes)
+    new_offsets = jnp.minimum(
+        jnp.cumsum(rep_counts), out_pad).astype(jnp.int32)
+    new_starts = _scene_starts(new_offsets).astype(jnp.int32)
+    new_counts = (new_offsets - new_starts).astype(jnp.int32)
+
+    # rank of each representative within its scene (flat sorted order)
+    inc = is_rep.astype(jnp.int32)
+    cum = jnp.cumsum(inc)
+    scene_first = jax.ops.segment_min(
+        jnp.where(is_rep, cum - 1, n), rep_batch, num_segments=num_scenes + 1
+    )[:num_scenes]
+    rank = (cum - 1) - scene_first[jnp.clip(rep_batch, 0, num_scenes - 1)]
+
+    nc = new_counts[jnp.clip(rep_batch, 0, num_scenes - 1)]
+    ok = is_rep & (rep_batch < num_scenes) & (rank < nc)
+    write = jnp.where(
+        ok, new_starts[jnp.clip(rep_batch, 0, num_scenes - 1)] + rank,
+        out_pad)
+
+    slot = jnp.arange(out_pad, dtype=jnp.int32)
+    slot_batch = jnp.searchsorted(
+        new_offsets, slot, side="right").astype(jnp.int32)
+    out = jnp.clip(starts, 0, n - 1)[jnp.clip(slot_batch, 0, num_scenes - 1)]
+    out = out.at[write].set(rep_orig, mode="drop")
+    out_valid = slot < new_offsets[-1]
+    return out, out_valid, new_offsets
 
 
 def blocked_fps(xyz, offsets, new_offsets, out_pad, cell_size, *,

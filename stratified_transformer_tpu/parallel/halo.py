@@ -24,9 +24,38 @@ import numpy as np
 
 
 def receptive_halo(cfg) -> float:
-    """Conservative receptive-field halo width for a `StratifiedConfig`."""
-    top_window = cfg.window_sizes()[cfg.num_layers - 1]
-    return 2.5 * top_window
+    """Receptive-field halo width (along the slab axis) for a
+    `StratifiedConfig`.
+
+    Influence propagates one hop per attention block: a query reads keys
+    in its small window (axis reach ``ws_i``) and stratified far keys in
+    its large window (axis reach ``2*ws_i``), so stage ``i`` contributes
+    ``depths[i] * 2 * ws_i``. Pooling edges add their kNN search reach:
+    with the grid cell-list method the search visits one ring of cells,
+    so a TransitionDown/Upsample edge reaches at most ``2 * knn_cell``
+    (the hard bound of ``ops.neighbors.grid_knn``); the KPConv stem adds
+    its ball-query radius. This is a hard bound for ``neighbor_method=
+    "grid"``; for "brute" kNN the pooling terms are practical (density-
+    based) rather than worst-case bounds.
+
+    Exactness additionally requires count-independent downsampling
+    (``down_quota: "cells"``) — per-scene quotas make selection depend on
+    the block's total point count (see StratifiedConfig.down_quota).
+    """
+    ws = cfg.window_sizes()
+    gs = cfg.grid_sizes()
+    r = 2.5 * cfg.grid_size * cfg.sigma            # stem ball query
+    for i in range(cfg.layer_start, cfg.num_layers):
+        r += cfg.depths[i] * 2.0 * ws[i]           # attention hops
+    if not cfg.stem_transformer:                   # stem TransitionDown
+        r += 2.0 * (gs[0] * 3.0)
+    for i in range(cfg.layer_start, cfg.num_layers - 1):
+        r += 2.0 * (gs[i] * 3.0)                   # TransitionDown kNN
+    for i in range(cfg.layer_start, cfg.num_layers - 1):
+        r += 2.0 * (gs[i] * 6.0)                   # Upsample 3-NN (knn_cell
+    if not cfg.stem_transformer:                   # = fine_grid * 6)
+        r += 2.0 * (gs[0] * 6.0)
+    return r
 
 
 def partition_scene(coord, n_blocks, halo, min_points_per_block=1):
@@ -52,9 +81,15 @@ def partition_scene(coord, n_blocks, halo, min_points_per_block=1):
         if len(idx) < min_points_per_block:
             idx = np.arange(min(len(coord), min_points_per_block))
             blocks.append({"idx": idx,
-                           "core": np.zeros(len(idx), bool)})
+                           "core": np.zeros(len(idx), bool),
+                           "halo_depth": np.zeros(len(idx), np.float32)})
             continue
-        blocks.append({"idx": idx, "core": core[idx]})
+        # distance beyond the core slab — the capacity-overflow drop order
+        # (farthest halo points go first; core points are never dropped)
+        xd = x[idx]
+        depth = np.maximum(np.maximum(lo - xd, xd - hi), 0.0)
+        blocks.append({"idx": idx, "core": core[idx],
+                       "halo_depth": depth.astype(np.float32)})
     return blocks
 
 
@@ -68,6 +103,7 @@ def sharded_scene_probs(
     n_pad,
     concat_xyz=True,
     halo=0.5,
+    stats=None,
 ):
     """Evaluate one big scene across the mesh's devices.
 
@@ -78,6 +114,10 @@ def sharded_scene_probs(
       coord/feat: full-resolution scene arrays (feat already scaled).
       mesh: 1-D device mesh.
       n_pad: per-device flat capacity.
+      stats: optional dict, filled with {"truncated_halo_points",
+        "block_points"} — non-zero truncation means the halo no longer
+        fully covers the receptive field (core results degrade from exact
+        to approximate).
 
     Returns ``probs [N, num_classes]`` for every point (cores exact; points
     never core in any block — impossible by construction — zero).
@@ -92,13 +132,18 @@ def sharded_scene_probs(
     xyz_b = np.zeros((d, n_pad, 3), np.float32)
     offsets_b = np.zeros((d, 1), np.int32)
     kept = []
+    truncated = 0
     for b, blk in enumerate(blocks):
         idx = blk["idx"]
         if len(idx) > n_pad:
-            # truncate farthest halo points first, never core
-            order = np.argsort(~blk["core"], kind="stable")
-            idx = idx[order[:n_pad]]
-            core = blk["core"][order[:n_pad]]
+            # truncate DEEPEST halo points first (distance beyond the core
+            # slab), never core; stable so in-block index order — which
+            # downstream tie-breaks rely on — is preserved after re-sort.
+            truncated += len(idx) - n_pad
+            order = np.argsort(blk["halo_depth"], kind="stable")[:n_pad]
+            order.sort()                       # restore global index order
+            idx = idx[order]
+            core = blk["core"][order]
         else:
             core = blk["core"]
         kept.append((idx, core))
@@ -114,6 +159,10 @@ def sharded_scene_probs(
         xyz_b[b, :len(idx)] = c
         feats_b[b, :len(idx)] = fcat
         offsets_b[b, 0] = len(idx)
+
+    if stats is not None:
+        stats["truncated_halo_points"] = truncated
+        stats["block_points"] = [len(i) for i, _ in kept]
 
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     put = lambda a: jax.device_put(a, sharding)  # noqa: E731

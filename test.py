@@ -82,6 +82,43 @@ def main():
             variables, feats, xyz, offsets, training=False)
         return jax.nn.softmax(logits, -1)
 
+    # ---- sharded whole-scene inference (spatial blocks + halo) ----
+    # Replaces the reference's serial sliding-sphere chunk loop
+    # (test_backup.py:238-285) with one data-parallel forward per voxel-vote
+    # chunk: each device evaluates a spatial slab padded by the model's
+    # receptive halo (parallel/halo.py). ``sharded: true`` in the config (or
+    # CLI ``sharded true``) enables it; exactness requires the
+    # count-independent sampler (``sharded_down_quota: cells``, default).
+    sharded = bool(cfg.get("sharded", False))
+    halo_stats: dict = {}
+    if sharded:
+        from stratified_transformer_tpu.parallel import halo as halo_mod
+        from stratified_transformer_tpu.parallel.mesh import make_mesh
+
+        ndev = int(cfg.get("sharded_devices", 0)) or len(jax.devices())
+        mesh = make_mesh(ndev)
+        block_pad = int(cfg.get("sharded_block_points",
+                                voxel_max or 80000))
+        block_pad = (block_pad + tile - 1) // tile * tile
+        mcfg_b = dataclasses.replace(
+            mcfg, n_pad=block_pad, num_scenes=1,
+            down_quota=str(cfg.get("sharded_down_quota", "cells")))
+        model_b = Stratified(mcfg_b)
+        halo_width = float(cfg.get("sharded_halo", 0.0)) or (
+            halo_mod.receptive_halo(mcfg_b))
+        logger.info(
+            f"sharded eval: {ndev} devices, block_pad {block_pad}, "
+            f"halo {halo_width:.2f} m, down_quota {mcfg_b.down_quota}")
+
+        @jax.jit
+        def predict_blocks(feats_b, xyz_b, offsets_b):
+            def one(f_, x_, o_):
+                logits, _ = model_b.apply(
+                    variables, f_, x_, o_.astype(jnp.int32),
+                    training=False, anchor=jnp.zeros((3,), jnp.float32))
+                return jax.nn.softmax(logits, -1)
+            return jax.vmap(one)(feats_b, xyz_b, offsets_b)
+
     # ---- scene source ----
     scenes = []
     if data_name == "s3dis":
@@ -117,13 +154,22 @@ def main():
     ignore = int(cfg.get("ignore_label", 255))
     for si, (name, coord, feat, label) in enumerate(scenes):
         t0 = time.time()
-        pred, _ = voting.evaluate_scene(
-            predict_probs, coord, feat, ncls,
-            data_name="s3dis" if feat_is_rgb255 else data_name,
-            voxel_size=cfg.get("voxel_size", 0.04),
-            voxel_max=voxel_max, batch_size_test=bst,
-            n_pad=mcfg.n_pad, num_scenes=bst,
-            concat_xyz=bool(cfg.get("concat_xyz", True)))
+        if sharded:
+            pred, _ = voting.evaluate_scene_sharded(
+                predict_blocks, coord, feat, ncls,
+                mesh=mesh, halo_width=halo_width, block_pad=block_pad,
+                data_name="s3dis" if feat_is_rgb255 else data_name,
+                voxel_size=cfg.get("voxel_size", 0.04),
+                concat_xyz=bool(cfg.get("concat_xyz", True)),
+                stats=halo_stats)
+        else:
+            pred, _ = voting.evaluate_scene(
+                predict_probs, coord, feat, ncls,
+                data_name="s3dis" if feat_is_rgb255 else data_name,
+                voxel_size=cfg.get("voxel_size", 0.04),
+                voxel_max=voxel_max, batch_size_test=bst,
+                n_pad=mcfg.n_pad, num_scenes=bst,
+                concat_xyz=bool(cfg.get("concat_xyz", True)))
         mask = label != ignore
         p, t = pred[mask], label[mask]
         inter = np.bincount(p[p == t], minlength=ncls)[:ncls]
@@ -137,6 +183,11 @@ def main():
             f"Scene [{si + 1}/{len(scenes)}] {name}: acc {acc:.4f} "
             f"({time.time() - t0:.1f}s)")
 
+    if sharded and halo_stats:
+        logger.info(
+            f"sharded eval stats: {halo_stats.get('blocks_evaluated', 0)} "
+            f"blocks, {halo_stats.get('truncated_halo_points', 0)} halo "
+            "points truncated (non-zero => raise sharded_block_points)")
     m = M.iou_from_counts(inter_sum, union_sum, target_sum)
     for c in range(ncls):
         logger.info(

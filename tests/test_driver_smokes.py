@@ -125,6 +125,26 @@ def test_s3dis_driver_eval(tmp_path, monkeypatch):
     test_mod.main()
 
 
+def test_s3dis_driver_eval_sharded(tmp_path, monkeypatch):
+    """`sharded: true` path of test.py: spatial blocks + halo over the
+    virtual device mesh (VERDICT #3: halo eval reachable from the driver)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    import test as test_mod
+    root = str(tmp_path / "s3dis")
+    _make_s3dis(root)
+    argv = (["test.py", "--config", os.path.join(
+        REPO, "configs", "synthetic_smoke.yaml")] + TINY_OPTS + [
+        "data_name", "s3dis", "data_root", root, "test_area", "5",
+        "classes", "13", "batch_size_test", "2",
+        "eval_max_batch_points", "2048",
+        "sharded", "True", "sharded_devices", "4",
+        "sharded_block_points", "1024"])
+    monkeypatch.setattr(sys, "argv", argv)
+    test_mod.main()
+
+
 def test_mix3d_halves_offsets(tmp_path):
     """mix3d: 1.0 -> every batch mixes scene pairs; the padded batch then
     has ceil(spd/2) distinct offset entries (trailing repeats)."""

@@ -76,26 +76,39 @@ def test_sharded_probs_match_full_forward(rng):
     np.testing.assert_allclose(probs, full, rtol=1e-4, atol=1e-5)
 
 
-def _real_model_setup(rng, n_scene=6000):
-    """Full Stratified model + a scene sized so no capacity cap binds
-    (downsample quota > occupied cells; see sparse/band margins below) —
-    block-vs-full forward can then be exact."""
+def _real_model_setup(rng, n_scene=10000):
+    """Full Stratified model + a corridor scene engineered so NO capacity
+    or quota cap binds anywhere (block-vs-full forward can then be exact):
+
+      * ``down_quota="cells"`` — downsample selection depends only on
+        local geometry + the global anchor (a per-scene ``floor(n/4)+1``
+        quota would drop different cells in a block than in the full
+        scene: the round-2 diffuse-mismatch root cause).
+      * densities chosen so occupied cells < every static capacity and
+        kNN kth-distances stay below the grid_knn ring bound (so kNN
+        results are geometry-exact, not cell-origin-dependent).
+      * the scene is long (32 m) relative to the receptive halo so each
+        block + halo fits its n_pad with zero truncation.
+    """
     from stratified_transformer_tpu.models.stratified import (
         Stratified, StratifiedConfig)
 
-    # surface-ish scene: floor + walls + blobs in a 4 x 2 x 0.6 box
-    f = rng.uniform(0, 1, (n_scene // 2, 3)) * [4.0, 2.0, 0.02]
-    w = rng.uniform(0, 1, (n_scene // 4, 3)) * [4.0, 0.02, 0.6]
-    b = rng.uniform(0, 1, (n_scene // 4, 3)) * [0.8, 0.8, 0.5] + [1.5, 0.6, 0]
-    coord = np.concatenate([f, w, b]).astype(np.float32)
+    # corridor: floor 32 x 1.5 + two walls 32 x 0.3 (uniform 2D densities:
+    # floor ~156/m^2, walls ~130/m^2)
+    nf, nw = (3 * n_scene) // 4, n_scene // 8
+    f = rng.uniform(0, 1, (nf, 3)) * [32.0, 1.5, 0.02]
+    w1 = rng.uniform(0, 1, (nw, 3)) * [32.0, 0.02, 0.3]
+    w2 = rng.uniform(0, 1, (nw, 3)) * [32.0, 0.02, 0.3] + [0, 1.48, 0]
+    coord = np.concatenate([f, w1, w2]).astype(np.float32)
     feat = rng.normal(size=(len(coord), 3)).astype(np.float32)
 
     cfg = StratifiedConfig(
         num_classes=5, in_channels=6, n_pad=0, num_scenes=1,
         depths=(1, 1), channels=(16, 32), num_heads=(2, 4), num_layers=2,
-        grid_size=0.08, window_size=4, patch_size=1, quant_size=0.02,
-        downsample_scale=4, band=128, tile=32, sparse_cap=64,
-        sampler="grid", stem_transformer=True, drop_path_rate=0.0)
+        grid_size=0.1, window_size=2.5, patch_size=1, quant_size=0.025,
+        downsample_scale=4, band=128, tile=128, sparse_cap=64,
+        sampler="grid", down_quota="cells", neighbor_method="grid",
+        stem_transformer=True, drop_path_rate=0.0)
     return cfg, coord, feat
 
 
@@ -153,9 +166,12 @@ def test_sharded_real_model_matches_full_forward(rng):
         return jax.vmap(one)(feats_b, xyz_b, offsets_b)
 
     hw = halo.receptive_halo(cfg)
+    stats = {}
     probs = halo.sharded_scene_probs(
         predict_blocks, coord, feat, cfg.num_classes, mesh=mesh,
-        n_pad=block_pad, concat_xyz=True, halo=hw)
+        n_pad=block_pad, concat_xyz=True, halo=hw, stats=stats)
+    # exactness precondition: every block's core + full halo fit its pad
+    assert stats["truncated_halo_points"] == 0, stats
     np.testing.assert_allclose(probs, np.asarray(full_probs),
                                rtol=2e-4, atol=2e-5)
 
