@@ -153,6 +153,53 @@ def instantiate(samples, pred_offset, pred_labels, num_face_classes=6):
     return out
 
 
+def instance_eval_pseudo(samples, pred_offset, pred_labels, confidence):
+    """Pseudo-label segment generation (reference ``util/train_utils.py:
+    399-436``): per predicted class, DBSCAN (eps 0.15 / min_samples 3) the
+    offset-shifted points; every cluster — including the DBSCAN noise
+    group — becomes a segment with a recomputed center offset
+    ``center - pts`` and a validity mask.
+
+    Faithful reference quirks kept: the noise cluster is emitted as a
+    regular segment (the reference's ``j == -1`` guard is dead code — its
+    loop variable starts at 0), so only ``len(segment) < 10`` zeroes a
+    mask; ``confidence`` is threaded but unused (the reference's
+    ``mask[confi < 0.8] = 0`` is commented out).
+
+    Returns ``(segments [N,3], labels [N], offsets [N,3], mask [N])``
+    concatenated over classes and clusters, in class-major cluster order.
+    """
+    from sklearn.cluster import DBSCAN
+
+    samples = np.asarray(samples)
+    shifted = samples + np.asarray(pred_offset)
+    pred_labels = np.asarray(pred_labels)
+    confidence = np.asarray(confidence)
+    segs, labels, offsets, masks = [], [], [], []
+    eps, min_samples, thre = 0.15, 3, 10
+    for i in range(int(pred_labels.max()) + 1):
+        sel = pred_labels == i
+        if not sel.any():
+            continue                  # (reference would crash on empty fit)
+        pts_trans = shifted[sel]
+        pts_ori = samples[sel]
+        db = DBSCAN(eps=eps, min_samples=min_samples).fit(pts_trans)
+        for j in range(db.labels_.max() + 2):
+            seg = pts_ori[db.labels_ == j - 1]
+            # empty noise group: offsets are empty either way; avoid the
+            # reference's nan-mean RuntimeWarning
+            center = np.mean(seg, axis=0) if len(seg) else np.zeros(3)
+            mask = np.ones(len(seg))
+            if len(seg) < thre:
+                mask = np.zeros(len(seg))
+            segs.append(seg)
+            labels.append(np.ones(len(seg)) * i)
+            offsets.append(center - seg)
+            masks.append(mask)
+    return (np.concatenate(segs), np.concatenate(labels),
+            np.concatenate(offsets), np.concatenate(masks))
+
+
 def support_to_box(supp):
     """Axis-aligned box [x1,y1,z1,x2,y2,z2] of a support set."""
     return np.concatenate([supp.min(0), supp.max(0)])

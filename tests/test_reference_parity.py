@@ -550,3 +550,40 @@ def test_merge_loop_parity(rng):
         for r, g in zip(ref, got):
             np.testing.assert_allclose(
                 np.sort(r, axis=0), np.sort(g, axis=0))
+
+
+def test_instance_eval_pseudo_parity(rng):
+    """Reference ``instance_eval_pseudo`` (util/train_utils.py:399-436) vs
+    ``eval.instantiation.instance_eval_pseudo``: EXACT equality of the
+    concatenated segments / labels / offsets / masks on a fabricated
+    multi-cluster scene (same sklearn DBSCAN underneath)."""
+    tu = load_ref("util/train_utils.py")
+    from stratified_transformer_tpu.eval.instantiation import (
+        instance_eval_pseudo)
+
+    # 3 classes, each with 2 well-separated blobs + a few isolated noise
+    # points (exercises the noise-cluster-as-segment quirk and the
+    # len<10 mask zeroing)
+    pts, labels = [], []
+    for c in range(3):
+        for b in range(2):
+            center = np.array([3.0 * c, 2.0 * b, 0.0])
+            pts.append(center + rng.normal(0, 0.03, (40, 3)))
+            labels.append(np.full(40, c))
+        pts.append(np.array([[3.0 * c + 1.2, 5.0 + c, 3.0]]))  # isolated
+        labels.append(np.full(1, c))
+    samples = np.concatenate(pts).astype(np.float64)
+    pred_labels = np.concatenate(labels).astype(np.int64)
+    pred_offset = rng.normal(0, 0.01, samples.shape)
+    confidence = rng.uniform(0, 1, len(samples))
+
+    ref = tu.instance_eval_pseudo(
+        samples.copy(), pred_offset.copy(), pred_labels.copy(),
+        confidence.copy())
+    got = instance_eval_pseudo(samples, pred_offset, pred_labels,
+                               confidence)
+    for r, g, name in zip(ref, got, ("seg", "label", "offset", "mask")):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)
+    # masks bite: the isolated points' singleton/noise segments are masked
+    assert (np.asarray(got[3]) == 0).any()
+    assert (np.asarray(got[3]) == 1).any()

@@ -124,3 +124,93 @@ def test_blocked_fps_structure(rng):
     rd2 = ((rpts[:, None] - rpts[None]) ** 2).sum(-1)
     np.fill_diagonal(rd2, 1e9)
     assert fps_min >= rd2.min() * 0.8
+
+
+def test_grid_pool_sampling_all_keeps_every_cell(rng):
+    """`grid_pool_sampling_all` (down_quota='cells'): one representative per
+    occupied cell, independent of scene point COUNT — the property halo
+    inference needs (a subset scene selects the same representatives for
+    its cells as the full scene)."""
+    import jax.numpy as jnp
+    from stratified_transformer_tpu.ops.sampling import (
+        grid_pool_sampling_all)
+
+    n0, n1 = 300, 200
+    xyz = np.zeros((600, 3), np.float32)
+    xyz[:n0] = rng.uniform(0, 4, (n0, 3))
+    xyz[n0:n0 + n1] = rng.uniform(0, 4, (n1, 3))
+    offsets = np.array([n0, n0 + n1], np.int32)
+    cell = 0.9
+    idx, valid, new_off = grid_pool_sampling_all(
+        jnp.asarray(xyz), jnp.asarray(offsets), 512, cell,
+        origin=jnp.zeros(3))
+    idx, valid, new_off = map(np.asarray, (idx, valid, new_off))
+
+    # per-scene: selected = exactly the occupied cells' center-most points
+    for s, (lo, hi) in enumerate([(0, n0), (n0, n0 + n1)]):
+        cells = np.floor(xyz[lo:hi] / cell).astype(int)
+        uniq = set(map(tuple, cells))
+        s_lo = 0 if s == 0 else new_off[0]
+        sel = idx[s_lo:new_off[s]]
+        assert valid[s_lo:new_off[s]].all()
+        assert len(sel) == len(uniq)
+        # every selected point is the center-most of its cell
+        for p in sel:
+            c = np.floor(xyz[p] / cell).astype(int)
+            members = np.where((cells == c).all(1))[0] + lo
+            ctr = (c + 0.5) * cell
+            d = ((xyz[members] - ctr) ** 2).sum(-1)
+            assert p == members[np.argmin(d)]
+
+    # count-independence: drop half of scene 1's points NOT in a chosen
+    # cell; the chosen cell's representative must not change
+    target = idx[0]
+    c_t = np.floor(xyz[target] / cell).astype(int)
+    keep = np.ones(n0, bool)
+    others = np.where(~(np.floor(xyz[:n0] / cell).astype(int)
+                        == c_t).all(1))[0]
+    keep[others[::2]] = False
+    xyz_sub = np.concatenate([xyz[:n0][keep], xyz[n0:n0 + n1]])
+    off_sub = np.array(
+        [keep.sum(), keep.sum() + n1], np.int32)
+    pad = np.zeros((600 - len(xyz_sub), 3), np.float32)
+    idx2, valid2, _ = grid_pool_sampling_all(
+        jnp.asarray(np.concatenate([xyz_sub, pad])),
+        jnp.asarray(off_sub), 512, cell, origin=jnp.zeros(3))
+    idx2 = np.asarray(idx2)
+    sel2 = idx2[np.asarray(valid2)]
+    remap = np.where(keep)[0]
+    sel2_orig = [remap[i] if i < keep.sum() else None for i in sel2
+                 if i < keep.sum()]
+    assert target in sel2_orig
+
+
+def test_truncation_audit_counts(rng):
+    """train/audit.py: zero drops at generous caps; non-zero when caps are
+    forced tiny (the counters bite)."""
+    import jax
+    from stratified_transformer_tpu.models.stratified import (
+        StratifiedConfig)
+    from stratified_transformer_tpu.data.pyramid import (
+        build_geometry_pyramid)
+    from stratified_transformer_tpu.train.audit import audit_truncation
+    from __graft_entry__ import _example_batch
+
+    base = dict(num_classes=13, in_channels=6, n_pad=2048, num_scenes=2,
+                channels=(16, 32), depths=(1, 1), num_heads=(2, 4),
+                num_layers=2, tile=128, sampler="grid")
+    cfg = StratifiedConfig(**base, band=128, sparse_cap=48, s_band=128)
+    b = _example_batch(cfg.n_pad, cfg.num_scenes, cfg.in_channels)
+    pyr = build_geometry_pyramid(b.xyz, b.offsets, cfg)
+    batch = {"xyz": b.xyz, "offsets": b.offsets, "pyramid": pyr}
+    stats = jax.tree.map(int, audit_truncation(cfg, batch))
+    for k, s in stats.items():
+        assert s["band_dropped"] == 0, (k, s)
+        assert s["cap_dropped"] == 0, (k, s)
+
+    cfg2 = StratifiedConfig(**base, band=4, sparse_cap=2, s_band=16)
+    stats2 = jax.tree.map(int, audit_truncation(cfg2, batch))
+    total_dropped = sum(
+        s["band_dropped"] + s["sband_dropped"] + s["cap_dropped"]
+        for s in stats2.values())
+    assert total_dropped > 0

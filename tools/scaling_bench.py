@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--scenes", type=int, default=2)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "native"])
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--production", action="store_true",
+                    help="production 4-stage S3DIS architecture (shrunk "
+                         "n_pad) instead of the 2-stage probe model")
     args = ap.parse_args()
 
     import jax
@@ -47,11 +50,19 @@ def main():
     from stratified_transformer_tpu.train.state import create_train_state
     from __graft_entry__ import _example_batch
 
-    cfg = StratifiedConfig(
-        num_classes=13, in_channels=6, channels=(16, 32), depths=(1, 1),
-        num_heads=(2, 4), num_layers=2, n_pad=args.n,
-        num_scenes=args.scenes, band=32, tile=32, sparse_cap=16,
-        sampler="grid", bn_axis_name="data")
+    if args.production:
+        cfg = StratifiedConfig(
+            num_classes=13, in_channels=6, channels=(48, 96, 192, 384),
+            depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), num_layers=4,
+            n_pad=args.n, num_scenes=args.scenes, band=128,
+            band_per_stage=(128, 128, 384, 192), tile=128, sparse_cap=48,
+            sampler="grid", bn_axis_name="data")
+    else:
+        cfg = StratifiedConfig(
+            num_classes=13, in_channels=6, channels=(16, 32), depths=(1, 1),
+            num_heads=(2, 4), num_layers=2, n_pad=args.n,
+            num_scenes=args.scenes, band=32, tile=32, sparse_cap=16,
+            sampler="grid", bn_axis_name="data")
     model = Stratified(cfg)
 
     results = []

@@ -310,6 +310,19 @@ def main():
     epochs = int(cfg.get("epochs", 100))
     step_rng = jax.random.PRNGKey(7)
     log_every = int(cfg.get("print_freq", 1))
+    # runtime truncation counters (band / s_band / sparse_cap drop
+    # fractions) every print_freq — a real-data density shift must show up
+    # in the logs, not silently eat pairs (train/audit.py)
+    audit_fn = None
+    if (bool(cfg.get("truncation_audit", True))
+            and bool(cfg.get("host_pyramid", True))
+            and mcfg.use_stratified):
+        from stratified_transformer_tpu.train.audit import audit_truncation
+
+        def audit_fn(b):
+            return audit_truncation(
+                mcfg, {"xyz": b["xyz"], "offsets": b["offsets"],
+                       "pyramid": b["pyramid"]})
     metrics_path = os.path.join(save_path, "metrics.jsonl")
     os.makedirs(save_path, exist_ok=True)
 
@@ -347,10 +360,17 @@ def main():
             points_total += int(stats["points"])
             if (it + 1) % log_every == 0:
                 pps = int(stats["points"]) / max(dt, 1e-9)
+                trunc = ""
+                if audit_fn is not None:
+                    from stratified_transformer_tpu.train.audit import (
+                        format_truncation)
+                    tstats = audit_fn(per_dev[0])
+                    trunc = " " + format_truncation(
+                        jax.tree.map(lambda x: int(x), tstats))
                 logger.info(
                     f"Epoch [{epoch + 1}/{epochs}][{it + 1}/"
                     f"{iter_per_epoch}] loss {loss:.4f} "
-                    f"({loss_meter.avg:.4f}) {pps:,.0f} pts/s")
+                    f"({loss_meter.avg:.4f}) {pps:,.0f} pts/s{trunc}")
         m = M.iou_from_counts(inter_sum, union_sum, target_sum)
         logger.info(
             f"Train epoch [{epoch + 1}/{epochs}]: mIoU {m['miou']:.4f} "
