@@ -248,6 +248,20 @@ def main():
 
     save_path = cfg.get("save_path", "runs/default")
     logger = get_logger(save_path)
+    # Optional device preflight (config `preflight: true`): probe the TPU in
+    # a throwaway subprocess with a hard timeout BEFORE this process
+    # initialises the backend — a wedged axon runtime blocks every client
+    # forever with 0 CPU (docs/PERF_NOTES.md round-3: detection + recovery).
+    if bool(cfg.get("preflight", False)):
+        from tools.preflight import probe_device
+        pf = probe_device(float(cfg.get("preflight_timeout", 420)),
+                          log=logger.info)
+        logger.info(f"preflight: {pf}")
+        if not pf["ok"]:
+            raise SystemExit(
+                "TPU preflight failed (wedged runtime?) - aborting before "
+                "this process blocks on the device. See docs/PERF_NOTES.md "
+                "for the recovery recipe, or set preflight false to force.")
     n_devices = int(cfg.get("n_devices", 0)) or len(jax.devices())
     n_devices = min(n_devices, len(jax.devices()))
     mcfg = build_model_config(cfg, n_devices)
