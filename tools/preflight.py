@@ -47,9 +47,13 @@ def probe_device(timeout_s: float = 240.0, log=None) -> dict:
     process at a time, so a probe launched after init would block on the
     caller itself.
     """
-    if "jax" in sys.modules and log is not None:
-        log("preflight: WARNING called after jax import - probe may "
-            "block on this very process")
+    # The sitecustomize imports jax in EVERY process, so module presence
+    # means nothing; what matters is whether this process already holds a
+    # device client (then the probe would block on us, not the runtime).
+    xb = getattr(sys.modules.get("jax._src.xla_bridge"), "_backends", None)
+    if xb and log is not None:
+        log("preflight: WARNING jax backend already initialised in this "
+            "process - probe may block on this very process")
     t0 = time.time()
     p = subprocess.Popen(
         [sys.executable, "-c", _PROBE_CODE],
