@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--warmup-fwd", action="store_true",
                     help="execute a small same-config model forward before "
                          "the big program (kernel-binary preload probe)")
+    ap.add_argument("--no-production-warmup", action="store_true",
+                    help="SKIP utils/warmup.fused_attention_warmup (the "
+                         "workaround every production consumer applies); "
+                         "skipping reproduces the first-Mosaic-program "
+                         "crash at exec#2 (docs/PERF_NOTES.md)")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +131,13 @@ def main():
             jax.block_until_ready(wfwd(wb.feats, wb.xyz, wb.offsets))
         print(f"[stability] fwd warmup done "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    if args.impl == "fused" and not args.no_production_warmup:
+        from stratified_transformer_tpu.utils.warmup import (
+            fused_attention_warmup)
+        fused_attention_warmup(cfg)
+        print("[stability] production warmup done "
+              "(utils/warmup.fused_attention_warmup)", flush=True)
 
     batch = make_batch(0)
     schedule = multi_step(0.006, [60, 80], 0.1)
