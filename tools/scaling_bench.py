@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--production", action="store_true",
                     help="production 4-stage S3DIS architecture (shrunk "
                          "n_pad) instead of the 2-stage probe model")
+    ap.add_argument("--baseline", action="store_true",
+                    help="also time the UNSHARDED single-device step "
+                         "(isolates shard_map/collective harness overhead "
+                         "from device-count scaling)")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +70,39 @@ def main():
     model = Stratified(cfg)
 
     results = []
+    if args.baseline:
+        # Unsharded single-device step, same per-device work: quantifies the
+        # pure sharding machinery overhead (shard_map + pmean/psum at d=1
+        # lower to no-op collectives; any delta vs this is harness cost).
+        import dataclasses
+
+        from stratified_transformer_tpu.train.step import make_train_step
+
+        b0 = _example_batch(cfg.n_pad, cfg.num_scenes, 6, seed=0)
+        batch0 = {"feats": b0.feats, "xyz": b0.xyz, "offsets": b0.offsets,
+                  "labels": b0.labels}
+        # plain BN outside shard_map (psum needs a bound mesh axis; the BN
+        # moment math is identical to SyncBN at d=1)
+        model0 = Stratified(dataclasses.replace(cfg, bn_axis_name=None))
+        state = create_train_state(
+            model0, jax.random.PRNGKey(0),
+            (b0.feats, b0.xyz, b0.offsets), multi_step(0.006, [60, 80], 0.1))
+        step = jax.jit(make_train_step(ignore_label=255, num_classes=13))
+        rng = jax.random.PRNGKey(1)
+        state, stats = step(state, batch0, rng)
+        jax.block_until_ready(stats["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, stats = step(state, batch0, rng)
+        jax.block_until_ready(stats["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        results.append({"devices": 0, "points_per_sec":
+                        round(int(stats["points"]) / dt, 1),
+                        "step_ms": round(dt * 1e3, 2),
+                        "weak_scaling_efficiency": None,
+                        "note": "unsharded single-device baseline"})
+        print(json.dumps(results[-1]), flush=True)
+
     base_pps = None
     d_list = [d for d in (1, 2, 4, 8, 16, 32) if d <= args.devices]
     for d in d_list:
