@@ -189,7 +189,12 @@ class BatchLoader:
                        "offsets": b.offsets, "labels": b.labels,
                        "stem_nidx": b.stem_nidx,
                        "stem_nmask": b.stem_nmask}
-            if bool(self.cfg.get("host_pyramid", True)):
+            # The host pyramid implements GRID pooling only; under
+            # sampler=fps/blocked_fps it would silently override the
+            # configured sampler with grid indices — fall back to
+            # on-device sampling instead (slower, correct).
+            if (bool(self.cfg.get("host_pyramid", True))
+                    and mcfg.sampler == "grid"):
                 from stratified_transformer_tpu.data.pyramid import (
                     build_geometry_pyramid)
                 d_batch["pyramid"] = build_geometry_pyramid(
@@ -330,6 +335,7 @@ def main():
     audit_fn = None
     if (bool(cfg.get("truncation_audit", True))
             and bool(cfg.get("host_pyramid", True))
+            and mcfg.sampler == "grid"      # pyramid is grid-only
             and mcfg.use_stratified):
         from stratified_transformer_tpu.train.audit import audit_truncation
 
