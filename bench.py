@@ -93,7 +93,9 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         band=128, tile=128, sparse_cap=48, sampler="grid",
         band_per_stage=(128, 128, 384, 192),
         rpe_precision="default", qk_precision="default",
-        attn_impl=impl, fused_stages=2, attn_bwd="pallas")
+        attn_impl=impl,
+        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES", 2)),
+        attn_bwd="pallas")
     model = Stratified(cfg)
 
     b = _example_batch(n_pad, num_scenes, cfg.in_channels)

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--warmup-fwd", action="store_true",
                     help="execute a small same-config model forward before "
                          "the big program (kernel-binary preload probe)")
+    ap.add_argument("--occupancy", type=float, default=1.0,
+                    help="fraction of n_pad filled with valid points "
+                         "(train.py's voxel_max batches run ~0.5; probes "
+                         "content-dependence of the runtime fault)")
     ap.add_argument("--no-production-warmup", action="store_true",
                     help="SKIP utils/warmup.fused_attention_warmup (the "
                          "workaround every production consumer applies); "
@@ -79,7 +83,22 @@ def main():
     model = Stratified(cfg)
 
     def make_batch(seed):
-        b = _example_batch(args.n_pad, 2, cfg.in_channels, seed=seed)
+        import numpy as np
+        n_eff = args.n_pad
+        if args.occupancy < 1.0:
+            n_eff = max(256, int(args.n_pad * args.occupancy) // 128 * 128)
+        b = _example_batch(n_eff, 2, cfg.in_channels, seed=seed)
+        if n_eff < args.n_pad:
+            # re-pad to the full static capacity: valid points unchanged,
+            # tail is zero/ignore padding exactly like a voxel_max-limited
+            # train.py batch
+            pad = args.n_pad - n_eff
+            b = b.__class__(
+                feats=np.pad(b.feats, ((0, pad), (0, 0))),
+                xyz=np.pad(b.xyz, ((0, pad), (0, 0))),
+                offsets=b.offsets,
+                labels=np.pad(b.labels, (0, pad), constant_values=255),
+                target_shift=None, stem_nidx=None, stem_nmask=None)
         b = with_stem_neighbors(
             b, radius=2.5 * cfg.grid_size * cfg.sigma,
             k=cfg.max_num_neighbors)

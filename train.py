@@ -209,6 +209,16 @@ class BatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        if not bool(self.cfg.get("prefetch", True)):
+            # Synchronous loader: batches built inline between steps. Use
+            # to take the prefetch thread out of the picture when
+            # diagnosing axon-runtime faults (host threads active during
+            # device execution are a suspect in the fused-path crash).
+            for bi in range(self.batches_per_epoch):
+                ids = order[bi * self.scenes_per_batch:
+                            (bi + 1) * self.scenes_per_batch]
+                yield self._make_batch(ids)
+            return
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def worker():
