@@ -59,6 +59,13 @@ def main():
     mcfg = dataclasses.replace(mcfg, n_pad=n_pad, num_scenes=bst)
     model = Stratified(mcfg)
 
+    # axon runtime workaround, ORDER-CRITICAL: a small fused-model program
+    # must execute before ANY full-size fused program, including the
+    # template init below (train.py r3 bisection; docs/PERF_NOTES.md)
+    from stratified_transformer_tpu.utils.warmup import (
+        fused_attention_warmup)
+    fused_attention_warmup(mcfg, logger=logger)
+
     # template state to restore into
     rng = jax.random.PRNGKey(0)
     ex_feats = np.zeros((mcfg.n_pad, mcfg.in_channels), np.float32)

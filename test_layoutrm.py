@@ -58,6 +58,12 @@ def main():
         mcfg, n_pad=n_pad, num_scenes=bst, with_regressor=True)
     model = Stratified(mcfg)
 
+    # axon runtime workaround: small fused program BEFORE the full-size
+    # template init (docs/PERF_NOTES.md, train.py r3 bisection)
+    from stratified_transformer_tpu.utils.warmup import (
+        fused_attention_warmup)
+    fused_attention_warmup(mcfg, logger=logger)
+
     ex = (np.zeros((n_pad, mcfg.in_channels), np.float32),
           np.zeros((n_pad, 3), np.float32),
           np.full((bst,), n_pad // bst, np.int32).cumsum().astype(np.int32))

@@ -301,6 +301,15 @@ def main():
 
     schedule, _ = schedulers.from_config(cfg, iter_per_epoch)
     example = loader._make_batch(list(range(loader.scenes_per_batch)))[0]
+    # axon runtime workaround, ORDER-CRITICAL: the small Mosaic program must
+    # execute before ANY full-size fused program — including the flax init
+    # below, which traces and executes the fused forward at n_pad. Running
+    # init first reproduces the first-Mosaic-program crash at the train
+    # step's first execution (r3 bisection: 3/3 crashes with init-first,
+    # bench/stability with warmup-first are green; PERF_NOTES round-2/3).
+    from stratified_transformer_tpu.utils.warmup import (
+        fused_attention_warmup)
+    fused_attention_warmup(mcfg, logger=logger)
     rng = jax.random.PRNGKey(int(cfg.get("manual_seed", 123)))
     state = create_train_state(
         model, rng, (example["feats"], example["xyz"], example["offsets"]),
@@ -320,11 +329,6 @@ def main():
     ignore = int(cfg.get("ignore_label", 255))
     ncls = int(cfg.get("classes", 13))
     offw = float(cfg.get("offset_weight", 1.0))
-    # axon runtime workaround: a small Mosaic-containing program must execute
-    # before the full-size fused step (docs/PERF_NOTES.md round-2 addendum)
-    from stratified_transformer_tpu.utils.warmup import (
-        fused_attention_warmup)
-    fused_attention_warmup(mcfg, logger=logger)
     if n_devices > 1:
         mesh = make_mesh(n_devices)
         step_fn = make_dp_train_step(mesh, ignore, ncls, offw)
