@@ -165,8 +165,14 @@ def _measure_path(impl: str, n_pad: int, iters: int):
 
 def main():
     deadline = float(os.environ.get("ST_BENCH_DEADLINE", 2400))
+    # On a deadline hit, the JSON line still parses; the last committed
+    # good measurement is referenced so a wedged-service round is
+    # distinguishable from a perf regression.
     watchdog = threading.Timer(
-        deadline, lambda: emit({"error": "bench-deadline"}, hard_exit=0))
+        deadline, lambda: emit(
+            {"error": "bench-deadline",
+             "last_good_artifact": "docs/artifacts/bench_r03_ab.json"},
+            hard_exit=0))
     watchdog.daemon = True
     watchdog.start()
 
