@@ -18,7 +18,7 @@ Wedge-proof by design (round-2 postmortem, docs/PERF_NOTES.md):
      (the guaranteed-stable baseline), Pallas "fused" second — and both
      reported; "value" is the faster of the two.
 
-Env knobs: ST_BENCH_DEADLINE (s, default 2400), ST_BENCH_PREFLIGHT_S
+Env knobs: ST_BENCH_DEADLINE (s, default 1500), ST_BENCH_PREFLIGHT_S
 (default 420 — a healthy first trivial op has measured 185s cold on the
 axon remote-compile path), ST_BENCH_PATHS ("reference,fused"),
 ST_BENCH_N (default 40960), ST_BENCH_ITERS (default 10), ST_PEAK_FLOPS
@@ -164,7 +164,10 @@ def _measure_path(impl: str, n_pad: int, iters: int):
 
 
 def main():
-    deadline = float(os.environ.get("ST_BENCH_DEADLINE", 2400))
+    # Default deadline sits BELOW typical harness timeouts (round-2's
+    # driver killed the bench at rc-124 with nothing emitted): better to
+    # report one measured path at 25 min than lose both to an outer kill.
+    deadline = float(os.environ.get("ST_BENCH_DEADLINE", 1500))
     # On a deadline hit, the JSON line still parses; the last committed
     # good measurement is referenced so a wedged-service round is
     # distinguishable from a perf regression.
