@@ -171,11 +171,15 @@ def main():
     # On a deadline hit, the JSON line still parses; the last committed
     # good measurement is referenced so a wedged-service round is
     # distinguishable from a perf regression.
-    watchdog = threading.Timer(
-        deadline, lambda: emit(
-            {"error": "bench-deadline",
-             "last_good_artifact": "docs/artifacts/bench_r03_ab.json"},
-            hard_exit=0))
+    def on_deadline():
+        # value>0 means at least one path was fully measured: that is a
+        # partial result, not an error.
+        tag = ("partial" if RESULT["value"] > 0 else "error")
+        emit({tag: "bench-deadline",
+              "last_good_artifact": "docs/artifacts/bench_r03_ab.json"},
+             hard_exit=0)
+
+    watchdog = threading.Timer(deadline, on_deadline)
     watchdog.daemon = True
     watchdog.start()
 
