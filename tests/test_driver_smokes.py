@@ -171,3 +171,27 @@ def test_mix3d_halves_offsets(tmp_path):
     loader_off = BatchLoader(ds, mcfg, cfg, 1, shuffle=False, seed=0)
     [batch2] = loader_off._make_batch(list(range(4)))
     assert len(np.unique(np.asarray(batch2["offsets"]))) == 4
+
+
+def test_sync_loader_matches_prefetch():
+    """`prefetch: false` (diagnostic sync loader, train.py r3) yields the
+    same batch sequence as the threaded prefetch loader."""
+    from train import BatchLoader, build_dataset, build_model_config
+    from stratified_transformer_tpu.utils.config import load_cfg
+
+    cfg = load_cfg(os.path.join(REPO, "configs", "synthetic_smoke.yaml"))
+    cfg.update({"synthetic_scenes": 4, "synthetic_points": 400,
+                "voxel_max": 300, "batch_size": 2, "max_batch_points": 2048,
+                "tile": 32, "band": 32, "num_layers": 2, "depths": [1, 1],
+                "channels": [16, 32], "num_heads": [2, 4],
+                "band_per_stage": None, "aug": False, "host_pyramid": False})
+    mcfg = build_model_config(cfg, 1)
+    ds = build_dataset(cfg, "train", mcfg)
+
+    threaded = list(BatchLoader(ds, mcfg, cfg, 1, shuffle=True, seed=3))
+    cfg["prefetch"] = False
+    sync = list(BatchLoader(ds, mcfg, cfg, 1, shuffle=True, seed=3))
+    assert len(threaded) == len(sync) > 0
+    for bt, bs in zip(threaded, sync):
+        for key in bt[0]:
+            np.testing.assert_array_equal(bt[0][key], bs[0][key], err_msg=key)
