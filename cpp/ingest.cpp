@@ -16,10 +16,50 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+namespace {
+
+// Worker count for the query-parallel neighbor kernels. The loader thread
+// calls these through ctypes (GIL released), so threads here use real cores
+// alongside the driver's device wait. Override: ST_INGEST_THREADS.
+int ingest_threads() {
+  if (const char* env = std::getenv("ST_INGEST_THREADS")) {
+    const int v = std::atoi(env);
+    if (v > 0) return std::min(v, 64);
+  }
+  const unsigned hc = std::thread::hardware_concurrency();
+  return hc ? static_cast<int>(std::min(hc, 16u)) : 2;
+}
+
+// Split [begin, end) across workers and run fn(thread_id, lo, hi).
+template <typename Fn>
+void parallel_ranges(int64_t begin, int64_t end, Fn fn) {
+  const int64_t n = end - begin;
+  int t = ingest_threads();
+  if (n < 2048 || t <= 1) {  // below this, thread spawn beats the win
+    fn(0, begin, end);
+    return;
+  }
+  t = static_cast<int>(std::min<int64_t>(t, (n + 2047) / 2048));
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  const int64_t chunk = (n + t - 1) / t;
+  for (int i = 0; i < t; ++i) {
+    const int64_t lo = begin + i * chunk;
+    const int64_t hi = std::min(end, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([=] { fn(i, lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -176,30 +216,32 @@ void radius_neighbors(const float* points, const int64_t* offsets,
       grid[key_of(points[i * 3], points[i * 3 + 1], points[i * 3 + 2])]
           .push_back(static_cast<int32_t>(i));
     }
-    std::vector<std::pair<float, int32_t>> cand;
-    for (int64_t i = start; i < end; ++i) {
-      cand.clear();
-      const float x = points[i * 3], y = points[i * 3 + 1],
-                  z = points[i * 3 + 2];
-      for (int dx = -1; dx <= 1; ++dx)
-        for (int dy = -1; dy <= 1; ++dy)
-          for (int dz = -1; dz <= 1; ++dz) {
-            auto it = grid.find(key_of(x + dx * cell, y + dy * cell,
-                                       z + dz * cell));
-            if (it == grid.end()) continue;
-            for (int32_t j : it->second) {
-              const float ddx = points[j * 3] - x;
-              const float ddy = points[j * 3 + 1] - y;
-              const float ddz = points[j * 3 + 2] - z;
-              const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-              if (d2 <= r2) cand.emplace_back(d2, j);
+    parallel_ranges(start, end, [&](int, int64_t lo, int64_t hi) {
+      std::vector<std::pair<float, int32_t>> cand;
+      for (int64_t i = lo; i < hi; ++i) {
+        cand.clear();
+        const float x = points[i * 3], y = points[i * 3 + 1],
+                    z = points[i * 3 + 2];
+        for (int dx = -1; dx <= 1; ++dx)
+          for (int dy = -1; dy <= 1; ++dy)
+            for (int dz = -1; dz <= 1; ++dz) {
+              auto it = grid.find(key_of(x + dx * cell, y + dy * cell,
+                                         z + dz * cell));
+              if (it == grid.end()) continue;
+              for (int32_t j : it->second) {
+                const float ddx = points[j * 3] - x;
+                const float ddy = points[j * 3 + 1] - y;
+                const float ddz = points[j * 3 + 2] - z;
+                const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (d2 <= r2) cand.emplace_back(d2, j);
+              }
             }
-          }
-      const int64_t kk = std::min<int64_t>(k, cand.size());
-      std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
-      for (int64_t j = 0; j < k; ++j)
-        out_idx[i * k + j] = j < kk ? cand[j].second : -1;
-    }
+        const int64_t kk = std::min<int64_t>(k, cand.size());
+        std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+        for (int64_t j = 0; j < k; ++j)
+          out_idx[i * k + j] = j < kk ? cand[j].second : -1;
+      }
+    });
     start = end;
   }
 }
@@ -246,8 +288,9 @@ void knn_grid(const float* qpts, const int64_t* q_offsets,
                 cell_of(rpts[i * 3 + 2]))]
           .push_back(static_cast<int32_t>(i));
 
+    parallel_ranges(qs, qe, [&](int, int64_t q_lo, int64_t q_hi) {
     std::vector<std::pair<float, int32_t>> heap;  // max-heap of k best
-    for (int64_t i = qs; i < qe; ++i) {
+    for (int64_t i = q_lo; i < q_hi; ++i) {
       const float x = qpts[i * 3], y = qpts[i * 3 + 1], z = qpts[i * 3 + 2];
       const int64_t cx = cell_of(x), cy = cell_of(y), cz = cell_of(z);
       heap.clear();
@@ -317,6 +360,7 @@ void knn_grid(const float* qpts, const int64_t* q_offsets,
         if (out_d2) out_d2[i * k + j] = ok ? heap[j].first : 1e10f;
       }
     }
+    });
     qs = qe;
     rs = re;
   }

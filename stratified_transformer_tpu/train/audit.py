@@ -131,6 +131,33 @@ def audit_truncation(mcfg, batch):
     return out
 
 
+_FIELDS = ("band_dropped", "band_total", "sband_dropped", "sband_total",
+           "cap_dropped", "cap_total")
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg",))
+def audit_truncation_packed(mcfg, batch):
+    """`audit_truncation` with the counters packed into ONE int32 array
+    ``[n_stages, 6]`` (field order ``_FIELDS``, stages sorted by name).
+
+    One array = one host transfer. The dict-of-scalars form costs 24
+    separate device->host round trips at harvest time — ~0.5 s/line over
+    the tunneled axon runtime (measured r4), which was most of the round-3
+    wall-cadence mystery.
+    """
+    stats = audit_truncation(mcfg, batch)
+    keys = sorted(stats)
+    return jnp.stack([
+        jnp.stack([stats[k][f] for f in _FIELDS]) for k in keys])
+
+
+def unpack_truncation(mcfg, arr):
+    """numpy ``[n_stages, 6]`` -> the `audit_truncation` dict shape."""
+    keys = [f"stage_{i}" for i in range(mcfg.layer_start, mcfg.num_layers)]
+    return {k: {f: int(arr[si, fi]) for fi, f in enumerate(_FIELDS)}
+            for si, k in enumerate(sorted(keys))}
+
+
 def format_truncation(stats) -> str:
     """One log line: per-stage drop fractions (b=band, s=s_band window,
     c=sparse_cap members)."""

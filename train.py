@@ -351,12 +351,17 @@ def main():
             and bool(cfg.get("host_pyramid", True))
             and mcfg.sampler == "grid"      # pyramid is grid-only
             and mcfg.use_stratified):
-        from stratified_transformer_tpu.train.audit import audit_truncation
+        from stratified_transformer_tpu.train.audit import (
+            audit_truncation_packed)
 
         def audit_fn(b):
-            return audit_truncation(
+            return audit_truncation_packed(
                 mcfg, {"xyz": b["xyz"], "offsets": b["offsets"],
                        "pyramid": b["pyramid"]})
+    # The audit duplicates every plan build; on a device-resident batch it is
+    # ~free device time, but converting its outputs still blocks the host —
+    # run it every `audit_freq` logged lines (default: every log line).
+    audit_freq = int(cfg.get("audit_freq", 1))
     metrics_path = os.path.join(save_path, "metrics.jsonl")
     os.makedirs(save_path, exist_ok=True)
 
@@ -371,6 +376,12 @@ def main():
         except Exception:
             logger.info("tensorboard unavailable; metrics.jsonl only")
 
+    def to_device(per_dev):
+        """Ship one host batch to the device(s); async under jax dispatch."""
+        if mesh is not None:
+            return shard_batch(per_dev, mesh)
+        return jax.device_put(per_dev[0])
+
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         inter_sum = np.zeros(ncls)
@@ -378,38 +389,71 @@ def main():
         target_sum = np.zeros(ncls)
         loss_meter = M.AverageMeter()
         points_total = 0
-        for it, per_dev in enumerate(loader):
-            if mesh is not None:
-                batch = shard_batch(per_dev, mesh)
-            else:
-                batch = per_dev[0]
-            t0 = time.time()
+        # Pipelined driver loop (the wall-clock fix for the ~3x gap between
+        # the device step and the training cadence, docs/RESULTS.md r3):
+        #   1. dispatch the step on the CURRENT device-resident batch;
+        #   2. while the device runs, pop the NEXT host batch from the
+        #      prefetch thread and device_put it (the upload rides the
+        #      tunnel during compute — double buffering);
+        #   3. only then block on the step's outputs.
+        # The truncation audit is dispatched right after the step on the
+        # SAME device-resident arrays: no re-upload, its plan builds queue
+        # behind the step and overlap the next host build.
+        t_load = t_put = t_blk = 0.0
+        it = -1
+        itr = iter(loader)
+        t0 = time.time()
+        cur_host = next(itr, None)
+        t_load += time.time() - t0
+        cur_dev = to_device(cur_host) if cur_host is not None else None
+        while cur_host is not None:
+            it += 1
+            per_dev, batch = cur_host, cur_dev
+            t_iter0 = time.time()
             state, stats = step_fn(state, batch, step_rng)
+            log_now = (it + 1) % log_every == 0
+            audit_stats = None
+            if (audit_fn is not None and log_now
+                    and (it // log_every) % audit_freq == 0):
+                audit_stats = audit_fn(
+                    batch if mesh is None else per_dev[0])
+            t0 = time.time()
+            cur_host = next(itr, None)
+            t_load += time.time() - t0
+            t0 = time.time()
+            cur_dev = to_device(cur_host) if cur_host is not None else None
+            t_put += time.time() - t0
+            t0 = time.time()
             loss = float(stats["loss"]) / max(n_devices if mesh else 1, 1)
-            dt = time.time() - t0
+            t_blk += time.time() - t0
             loss_meter.update(loss)
             inter_sum += np.asarray(stats["intersection"])
             union_sum += np.asarray(stats["union"])
             target_sum += np.asarray(stats["target"])
             points_total += int(stats["points"])
-            if (it + 1) % log_every == 0:
-                pps = int(stats["points"]) / max(dt, 1e-9)
+            if log_now:
                 trunc = ""
-                if audit_fn is not None:
+                if audit_stats is not None:
                     from stratified_transformer_tpu.train.audit import (
-                        format_truncation)
-                    tstats = audit_fn(per_dev[0])
-                    trunc = " " + format_truncation(
-                        jax.tree.map(lambda x: int(x), tstats))
+                        format_truncation, unpack_truncation)
+                    trunc = " " + format_truncation(unpack_truncation(
+                        mcfg, np.asarray(audit_stats)))
+                dt_wall = time.time() - t_iter0
+                pps = int(stats["points"]) / max(dt_wall, 1e-9)
                 logger.info(
                     f"Epoch [{epoch + 1}/{epochs}][{it + 1}/"
                     f"{iter_per_epoch}] loss {loss:.4f} "
-                    f"({loss_meter.avg:.4f}) {pps:,.0f} pts/s{trunc}")
+                    f"({loss_meter.avg:.4f}) {pps:,.0f} pts/s "
+                    f"wall {dt_wall * 1e3:.0f}ms{trunc}")
         m = M.iou_from_counts(inter_sum, union_sum, target_sum)
+        t_wall_ep = time.time() - t_epoch
+        pps_wall = points_total / max(t_wall_ep, 1e-9)
         logger.info(
             f"Train epoch [{epoch + 1}/{epochs}]: mIoU {m['miou']:.4f} "
             f"mAcc {m['macc']:.4f} allAcc {m['all_acc']:.4f} "
-            f"({time.time() - t_epoch:.1f}s)")
+            f"({t_wall_ep:.1f}s, {pps_wall:,.0f} pts/s wall; "
+            f"load-wait {t_load:.1f}s upload {t_put:.1f}s "
+            f"step-block {t_blk:.1f}s)")
         record = {"epoch": epoch + 1, "loss": loss_meter.avg,
                   **{k: m[k] for k in ("miou", "macc", "all_acc")}}
 
