@@ -195,3 +195,52 @@ def test_sync_loader_matches_prefetch():
     for bt, bs in zip(threaded, sync):
         for key in bt[0]:
             np.testing.assert_array_equal(bt[0][key], bs[0][key], err_msg=key)
+
+
+def test_crash_handler_marker_and_resume(tmp_path, monkeypatch):
+    """Fault-injection test of the mid-run crash handler (VERDICT r3 #8):
+    a synthetic runtime fault at epoch 2 writes the crash marker, exits
+    rc 17 promptly, and the run resumes cleanly from the epoch-1
+    checkpoint in a fresh invocation (the documented recovery path)."""
+    import json as _json
+
+    import train as train_mod
+
+    save = str(tmp_path / "crashrun")
+    argv = (["train.py", "--config", os.path.join(
+        REPO, "configs", "synthetic_smoke.yaml")]
+        + TINY_OPTS
+        + ["data_name", "synthetic", "synthetic_scenes", "4",
+           "synthetic_points", "1200", "epochs", "2",
+           "save_path", save])
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.setenv("ST_FAULT_INJECT_AT", "2:1")
+    with pytest.raises(SystemExit) as ex:
+        train_mod.main()
+    assert ex.value.code == 17
+    with open(os.path.join(save, "crash_marker.json")) as f:
+        marker = _json.load(f)
+    assert "INVALID_ARGUMENT" in marker["error"]
+    assert marker["epoch"] == 2 and marker["iter"] == 1
+    assert marker["resume"] == os.path.join(save, "ckpt")
+
+    # recovery: fresh invocation resuming from the marker's checkpoint
+    monkeypatch.delenv("ST_FAULT_INJECT_AT")
+    monkeypatch.setattr(sys, "argv", argv + ["resume", marker["resume"]])
+    train_mod.main()
+    lines = open(os.path.join(save, "metrics.jsonl")).read().splitlines()
+    assert len(lines) >= 2  # epoch 1 (pre-crash) + epoch 2 (resumed)
+
+
+def test_crash_fallback_argv():
+    """The re-exec command swaps in the jnp path and resumes (appended
+    `key value` pairs win in merge_cfg_from_list)."""
+    from train import _fallback_argv
+
+    argv = _fallback_argv(
+        "python", ["train.py", "--config", "c.yaml", "attn_impl", "fused"],
+        "/runs/x/ckpt", "reference")
+    assert argv[0] == "python"
+    tail = argv[-8:]
+    assert tail == ["resume", "/runs/x/ckpt", "preflight", "true",
+                    "preflight_retries", "8", "attn_impl", "reference"]

@@ -86,19 +86,18 @@ def main():
         import numpy as np
         n_eff = args.n_pad
         if args.occupancy < 1.0:
-            n_eff = max(256, int(args.n_pad * args.occupancy) // 128 * 128)
+            n_eff = max(
+                256, int(args.n_pad * args.occupancy) // cfg.tile * cfg.tile)
         b = _example_batch(n_eff, 2, cfg.in_channels, seed=seed)
         if n_eff < args.n_pad:
             # re-pad to the full static capacity: valid points unchanged,
             # tail is zero/ignore padding exactly like a voxel_max-limited
-            # train.py batch
+            # train.py batch (_replace keeps any future PaddedBatch fields)
             pad = args.n_pad - n_eff
-            b = b.__class__(
+            b = b._replace(
                 feats=np.pad(b.feats, ((0, pad), (0, 0))),
                 xyz=np.pad(b.xyz, ((0, pad), (0, 0))),
-                offsets=b.offsets,
-                labels=np.pad(b.labels, (0, pad), constant_values=255),
-                target_shift=None, stem_nidx=None, stem_nmask=None)
+                labels=np.pad(b.labels, (0, pad), constant_values=255))
         b = with_stem_neighbors(
             b, radius=2.5 * cfg.grid_size * cfg.sigma,
             k=cfg.max_num_neighbors)

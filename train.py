@@ -237,6 +237,56 @@ class BatchLoader:
             yield item
 
 
+def _handle_step_crash(cfg, logger, save_path, epoch, it, err, attn_impl):
+    """Mid-run device-fault handler (never returns).
+
+    Writes ``<save_path>/crash_marker.json`` (what failed, how to resume),
+    then either re-execs a FRESH process resuming from the last epoch
+    checkpoint (``crash_fallback: reference`` swaps the attention impl to
+    the pure-XLA path; ``crash_fallback: resume`` keeps it) or exits with
+    rc 17. Exiting promptly matters: a poisoned axon client that lingers
+    holds the device grant queue (docs/PERF_NOTES.md round-3 recovery).
+    One re-exec max (ST_CRASH_REEXEC guard) — a second crash exits 17.
+    """
+    import sys
+
+    ckpt_dir = os.path.join(save_path, "ckpt")
+    marker = {
+        "error": repr(err)[:500], "epoch": epoch + 1, "iter": it + 1,
+        "attn_impl": attn_impl, "time": time.time(),
+        "resume": ckpt_dir if os.path.isdir(ckpt_dir) else None,
+        "note": ("process poisoned after a runtime fault; resume from the "
+                 "last epoch checkpoint in a FRESH process "
+                 "(docs/PERF_NOTES.md)")}
+    try:
+        with open(os.path.join(save_path, "crash_marker.json"), "w") as f:
+            json.dump(marker, f, indent=1)
+    except OSError:
+        pass
+    logger.info(f"FATAL step crash at epoch {epoch + 1} iter {it + 1}: "
+                f"{err!r} - marker written")
+    fallback = str(cfg.get("crash_fallback", "none"))
+    if (fallback in ("reference", "resume") and marker["resume"]
+            and not os.environ.get("ST_CRASH_REEXEC")):
+        argv = _fallback_argv(sys.executable, sys.argv, ckpt_dir, fallback)
+        logger.info(f"re-exec fallback: {' '.join(argv[1:])}")
+        os.environ["ST_CRASH_REEXEC"] = "1"
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, argv)  # fresh client; fds close on exec
+    raise SystemExit(17)
+
+
+def _fallback_argv(python, argv, ckpt_dir, fallback):
+    """Re-exec command for the crash-fallback path (later ``key value``
+    pairs win in ``merge_cfg_from_list``, so appending overrides)."""
+    out = [python] + list(argv) + [
+        "resume", ckpt_dir, "preflight", "true", "preflight_retries", "8"]
+    if fallback == "reference":
+        out += ["attn_impl", "reference"]
+    return out
+
+
 def main():
     args = get_parser()
     from stratified_transformer_tpu.utils.config import (
@@ -269,10 +319,18 @@ def main():
     # forever with 0 CPU (docs/PERF_NOTES.md round-3: detection + recovery).
     if bool(cfg.get("preflight", False)):
         from tools.preflight import probe_device
-        pf = probe_device(float(cfg.get("preflight_timeout", 420)),
-                          log=logger.info)
-        logger.info(f"preflight: {pf}")
-        if not pf["ok"]:
+        retries = max(int(cfg.get("preflight_retries", 1)), 1)
+        for attempt in range(retries):
+            pf = probe_device(float(cfg.get("preflight_timeout", 420)),
+                              log=logger.info)
+            logger.info(f"preflight ({attempt + 1}/{retries}): {pf}")
+            if pf["ok"]:
+                break
+            if attempt + 1 < retries:
+                # post-crash wedges heal in ~10-75 min once the stale
+                # grant clears (PERF_NOTES round-3 recovery recipe)
+                time.sleep(float(cfg.get("preflight_retry_s", 300)))
+        else:
             raise SystemExit(
                 "TPU preflight failed (wedged runtime?) - aborting before "
                 "this process blocks on the device. See docs/PERF_NOTES.md "
@@ -342,6 +400,14 @@ def main():
 
     epochs = int(cfg.get("epochs", 100))
     step_rng = jax.random.PRNGKey(7)
+    # Fault injection for the crash handler (chaos-test seam):
+    # ST_FAULT_INJECT_AT="epoch:iter" (1-based) raises a synthetic runtime
+    # fault at that step, exercising the same path as a real
+    # INVALID_ARGUMENT from the device (tests/test_driver_smokes.py).
+    fault_at = None
+    if os.environ.get("ST_FAULT_INJECT_AT"):
+        fault_at = tuple(
+            int(x) for x in os.environ["ST_FAULT_INJECT_AT"].split(":"))
     log_every = int(cfg.get("print_freq", 1))
     # runtime truncation counters (band / s_band / sparse_cap drop
     # fractions) every print_freq — a real-data density shift must show up
@@ -410,22 +476,41 @@ def main():
             it += 1
             per_dev, batch = cur_host, cur_dev
             t_iter0 = time.time()
-            state, stats = step_fn(state, batch, step_rng)
-            log_now = (it + 1) % log_every == 0
-            audit_stats = None
-            if (audit_fn is not None and log_now
-                    and (it // log_every) % audit_freq == 0):
-                audit_stats = audit_fn(
-                    batch if mesh is None else per_dev[0])
-            t0 = time.time()
-            cur_host = next(itr, None)
-            t_load += time.time() - t0
-            t0 = time.time()
-            cur_dev = to_device(cur_host) if cur_host is not None else None
-            t_put += time.time() - t0
-            t0 = time.time()
-            loss = float(stats["loss"]) / max(n_devices if mesh else 1, 1)
-            t_blk += time.time() - t0
+            try:
+                state, stats = step_fn(state, batch, step_rng)
+                if fault_at == (epoch + 1, it + 1):
+                    raise RuntimeError(
+                        "INVALID_ARGUMENT: TPU backend error "
+                        "(injected via ST_FAULT_INJECT_AT)")
+                log_now = (it + 1) % log_every == 0
+                audit_stats = None
+                if (audit_fn is not None and log_now
+                        and (it // log_every) % audit_freq == 0):
+                    audit_stats = audit_fn(
+                        batch if mesh is None else per_dev[0])
+                t0 = time.time()
+                cur_host = next(itr, None)
+                t_load += time.time() - t0
+                t0 = time.time()
+                cur_dev = (to_device(cur_host)
+                           if cur_host is not None else None)
+                t_put += time.time() - t0
+                t0 = time.time()
+                loss = float(stats["loss"]) / max(
+                    n_devices if mesh else 1, 1)
+                t_blk += time.time() - t0
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:
+                # Mid-run runtime fault (the fused-path INVALID_ARGUMENT
+                # class, docs/PERF_NOTES.md): the process is POISONED —
+                # every later dispatch fails too (r2 bisection), so
+                # in-process fallback is impossible. Record a crash
+                # marker with resume instructions and exit PROMPTLY (a
+                # lingering client holds the axon grant queue); progress
+                # since the last epoch checkpoint is lost by design.
+                _handle_step_crash(cfg, logger, save_path, epoch, it, e,
+                                   mcfg.attn_impl)
             loss_meter.update(loss)
             inter_sum += np.asarray(stats["intersection"])
             union_sum += np.asarray(stats["union"])
