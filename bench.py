@@ -136,6 +136,7 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         donate_argnums=donate)
 
     flops = None
+    acc_bytes = None
     try:
         lowered = step.lower(state, batch, jax.random.PRNGKey(1))
         compiled = lowered.compile()
@@ -143,6 +144,7 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0)) or None
+        acc_bytes = float(ca.get("bytes accessed", 0.0)) or None
         log(f"{impl}: compiled (cost_analysis flops="
             f"{flops / 1e12:.2f}T)" if flops else f"{impl}: compiled")
         step = compiled
@@ -169,8 +171,14 @@ def _measure_path(impl: str, n_pad: int, iters: int):
     pps = points / dt
     peak = float(os.environ.get("ST_PEAK_FLOPS", 1.97e14))
     mfu = (flops / dt / peak) if flops else None
+    # HBM-bandwidth utilization from XLA's own traffic estimate — the
+    # bandwidth-side roofline companion to MFU (analytic per-kernel model:
+    # tools/roofline.py, docs/PERF_NOTES.md "Roofline").
+    peak_hbm = float(os.environ.get("ST_PEAK_HBM", 8.19e11))
+    hbm_util = (acc_bytes / dt / peak_hbm) if acc_bytes else None
     log(f"{impl}: {iters} iters, {1e3 * dt:.1f} ms/step, {pps:,.0f} pts/s"
-        + (f", mfu={100 * mfu:.1f}%" if mfu else ""))
+        + (f", mfu={100 * mfu:.1f}%" if mfu else "")
+        + (f", hbm={100 * hbm_util:.1f}%" if hbm_util else ""))
 
     e2e = None
     if os.environ.get("ST_BENCH_E2E", "1") == "1":
@@ -178,7 +186,7 @@ def _measure_path(impl: str, n_pad: int, iters: int):
             e2e = _measure_e2e(cfg, state, step, rng, iters)
         except Exception as e:  # never lose the step numbers to the loop
             log(f"{impl}: e2e loop failed ({e!r})")
-    return pps, 1e3 * dt, mfu, e2e
+    return pps, 1e3 * dt, mfu, hbm_util, e2e
 
 
 def _measure_e2e(cfg, state, step, rng, iters):
@@ -205,6 +213,11 @@ def _measure_e2e(cfg, state, step, rng, iters):
     loader = train_mod.BatchLoader(ds, cfg, ldr_cfg, 1, shuffle=True,
                                    seed=123)
     wall = points = n_done = 0
+    # Upload AFTER blocking on the step (ST_BENCH_UPLOAD_OVERLAP=1 to
+    # overlap): an async device_put racing a large executing program
+    # reproduces the axon INVALID_ARGUMENT fault class on the PURE-JNP
+    # path (r4, N=40960) — same default as train.py `upload_overlap`.
+    overlap = os.environ.get("ST_BENCH_UPLOAD_OVERLAP") == "1"
     for rep in range(2):  # rep 0 warms the loader+shapes; rep 1 is timed
         itr = iter(loader)
         cur = next(itr, None)
@@ -214,8 +227,13 @@ def _measure_e2e(cfg, state, step, rng, iters):
         while cur is not None and n_it < iters:
             st, stats = step(st, cur_dev, rng)
             cur = next(itr, None)
-            cur_dev = jax.device_put(cur[0]) if cur is not None else None
+            if overlap:
+                cur_dev = (jax.device_put(cur[0])
+                           if cur is not None else None)
             n_pts += int(stats["points"])  # blocks on this step
+            if not overlap:
+                cur_dev = (jax.device_put(cur[0])
+                           if cur is not None else None)
             n_it += 1
         jax.block_until_ready(stats["loss"])
         if rep == 1:
@@ -286,7 +304,7 @@ def main():
     best = 0.0
     for impl in [p.strip() for p in paths if p.strip()]:
         try:
-            pps, ms, mfu, e2e = _measure_path(impl, n_pad, iters)
+            pps, ms, mfu, hbm_util, e2e = _measure_path(impl, n_pad, iters)
         except Exception as e:
             log(f"{impl}: FAILED {e!r}")
             extras[f"{impl}_error"] = repr(e)[:200]
@@ -295,6 +313,8 @@ def main():
         extras[f"{impl}_step_ms"] = round(ms, 1)
         if mfu is not None:
             extras[f"{impl}_mfu"] = round(mfu, 4)
+        if hbm_util is not None:
+            extras[f"{impl}_hbm_util"] = round(hbm_util, 4)
         if e2e is not None:
             extras[f"{impl}_e2e_pts_per_sec"] = e2e["pts_per_sec"]
             extras[f"{impl}_e2e_step_ms_wall"] = e2e["step_ms_wall"]

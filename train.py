@@ -428,6 +428,7 @@ def main():
     # ~free device time, but converting its outputs still blocks the host —
     # run it every `audit_freq` logged lines (default: every log line).
     audit_freq = int(cfg.get("audit_freq", 1))
+    upload_overlap = bool(cfg.get("upload_overlap", False))
     metrics_path = os.path.join(save_path, "metrics.jsonl")
     os.makedirs(save_path, exist_ok=True)
 
@@ -459,9 +460,13 @@ def main():
         # the device step and the training cadence, docs/RESULTS.md r3):
         #   1. dispatch the step on the CURRENT device-resident batch;
         #   2. while the device runs, pop the NEXT host batch from the
-        #      prefetch thread and device_put it (the upload rides the
-        #      tunnel during compute — double buffering);
-        #   3. only then block on the step's outputs.
+        #      prefetch thread (the host BUILD overlap — the big win);
+        #   3. block on the step's outputs, then upload the next batch.
+        # `upload_overlap: true` additionally device_puts the next batch
+        # BEFORE blocking, overlapping the ~0.1-0.2 s tunnel transfer with
+        # device compute — measured to trigger the axon INVALID_ARGUMENT
+        # runtime fault class at N=40960 (r4 bench e2e, pure-jnp path), so
+        # it is OPT-IN until the runtime hardens.
         # The truncation audit is dispatched right after the step on the
         # SAME device-resident arrays: no re-upload, its plan builds queue
         # behind the step and overlap the next host build.
@@ -491,14 +496,19 @@ def main():
                 t0 = time.time()
                 cur_host = next(itr, None)
                 t_load += time.time() - t0
-                t0 = time.time()
-                cur_dev = (to_device(cur_host)
-                           if cur_host is not None else None)
-                t_put += time.time() - t0
+                cur_dev = None
+                if upload_overlap and cur_host is not None:
+                    t0 = time.time()
+                    cur_dev = to_device(cur_host)
+                    t_put += time.time() - t0
                 t0 = time.time()
                 loss = float(stats["loss"]) / max(
                     n_devices if mesh else 1, 1)
                 t_blk += time.time() - t0
+                if cur_dev is None and cur_host is not None:
+                    t0 = time.time()
+                    cur_dev = to_device(cur_host)
+                    t_put += time.time() - t0
             except (KeyboardInterrupt, SystemExit):
                 raise
             except Exception as e:
