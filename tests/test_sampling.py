@@ -214,3 +214,32 @@ def test_truncation_audit_counts(rng):
         s["band_dropped"] + s["sband_dropped"] + s["cap_dropped"]
         for s in stats2.values())
     assert total_dropped > 0
+
+
+def test_truncation_audit_packed_matches_dict(rng):
+    """audit_truncation_packed (the one-transfer form the driver logs use)
+    unpacks to exactly the dict form."""
+    import jax
+    from stratified_transformer_tpu.models.stratified import (
+        StratifiedConfig)
+    from stratified_transformer_tpu.data.pyramid import (
+        build_geometry_pyramid)
+    from stratified_transformer_tpu.train.audit import (
+        audit_truncation, audit_truncation_packed, unpack_truncation)
+    from __graft_entry__ import _example_batch
+    import numpy as np
+
+    cfg = StratifiedConfig(
+        num_classes=13, in_channels=6, n_pad=2048, num_scenes=2,
+        channels=(16, 32), depths=(1, 1), num_heads=(2, 4),
+        num_layers=2, tile=128, sampler="grid",
+        band=8, sparse_cap=4, s_band=16)  # tiny caps => non-zero drops
+    b = _example_batch(cfg.n_pad, cfg.num_scenes, cfg.in_channels)
+    pyr = build_geometry_pyramid(b.xyz, b.offsets, cfg)
+    batch = {"xyz": b.xyz, "offsets": b.offsets, "pyramid": pyr}
+    want = jax.tree.map(int, audit_truncation(cfg, batch))
+    got = unpack_truncation(cfg, np.asarray(audit_truncation_packed(
+        cfg, batch)))
+    assert got == want
+    assert sum(s["band_dropped"] + s["sband_dropped"] + s["cap_dropped"]
+               for s in got.values()) > 0
