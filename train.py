@@ -387,13 +387,36 @@ def main():
     ignore = int(cfg.get("ignore_label", 255))
     ncls = int(cfg.get("classes", 13))
     offw = float(cfg.get("offset_weight", 1.0))
+
+    # Pack the step statistics into ONE f32 vector inside the jitted step:
+    # harvesting the dict costs 5+ separate device->host round trips per
+    # iteration (~0.1 s over the tunneled runtime — the same disease as
+    # the audit counters, fixed r4). Layout:
+    # [loss, loss_seg, loss_offset, points, inter[C], union[C], target[C]]
+    import jax.numpy as jnp
+
+    def _pack_stats(stats):
+        return jnp.concatenate([
+            jnp.stack([stats["loss"], stats["loss_seg"],
+                       stats["loss_offset"],
+                       stats["points"].astype(jnp.float32)]),
+            stats["intersection"].astype(jnp.float32),
+            stats["union"].astype(jnp.float32),
+            stats["target"].astype(jnp.float32)])
+
     if n_devices > 1:
         mesh = make_mesh(n_devices)
-        step_fn = make_dp_train_step(mesh, ignore, ncls, offw)
+        dp_step = make_dp_train_step(mesh, ignore, ncls, offw)
+
+        def step_fn(s, b, r):
+            s, stats = dp_step(s, b, r)
+            return s, _pack_stats(stats)
     else:
         mesh = None
+        inner_step = make_train_step(ignore, ncls, offw)
         step_fn = jax.jit(
-            make_train_step(ignore, ncls, offw),
+            lambda s, b, r: (lambda st, sts: (st, _pack_stats(sts)))(
+                *inner_step(s, b, r)),
             # donation + Pallas trips the axon runtime (docs/PERF_NOTES.md)
             donate_argnums=(0,) if mcfg.attn_impl != "fused" else ())
     eval_fn = jax.jit(make_eval_step(ignore, ncls))
@@ -502,9 +525,9 @@ def main():
                     cur_dev = to_device(cur_host)
                     t_put += time.time() - t0
                 t0 = time.time()
-                loss = float(stats["loss"]) / max(
-                    n_devices if mesh else 1, 1)
+                sarr = np.asarray(stats)      # ONE packed transfer
                 t_blk += time.time() - t0
+                loss = float(sarr[0]) / max(n_devices if mesh else 1, 1)
                 if cur_dev is None and cur_host is not None:
                     t0 = time.time()
                     cur_dev = to_device(cur_host)
@@ -522,10 +545,11 @@ def main():
                 _handle_step_crash(cfg, logger, save_path, epoch, it, e,
                                    mcfg.attn_impl)
             loss_meter.update(loss)
-            inter_sum += np.asarray(stats["intersection"])
-            union_sum += np.asarray(stats["union"])
-            target_sum += np.asarray(stats["target"])
-            points_total += int(stats["points"])
+            it_points = int(sarr[3])
+            inter_sum += sarr[4:4 + ncls]
+            union_sum += sarr[4 + ncls:4 + 2 * ncls]
+            target_sum += sarr[4 + 2 * ncls:4 + 3 * ncls]
+            points_total += it_points
             if log_now:
                 trunc = ""
                 if audit_stats is not None:
@@ -534,7 +558,7 @@ def main():
                     trunc = " " + format_truncation(unpack_truncation(
                         mcfg, np.asarray(audit_stats)))
                 dt_wall = time.time() - t_iter0
-                pps = int(stats["points"]) / max(dt_wall, 1e-9)
+                pps = it_points / max(dt_wall, 1e-9)
                 logger.info(
                     f"Epoch [{epoch + 1}/{epochs}][{it + 1}/"
                     f"{iter_per_epoch}] loss {loss:.4f} "
