@@ -407,10 +407,11 @@ def main():
     if n_devices > 1:
         mesh = make_mesh(n_devices)
         dp_step = make_dp_train_step(mesh, ignore, ncls, offw)
-
-        def step_fn(s, b, r):
-            s, stats = dp_step(s, b, r)
-            return s, _pack_stats(stats)
+        # jit the wrapper so the pack fuses into the sharded step program
+        # (an out-of-jit concat would cost one extra dispatch per iter)
+        step_fn = jax.jit(
+            lambda s, b, r: (lambda st, sts: (st, _pack_stats(sts)))(
+                *dp_step(s, b, r)))
     else:
         mesh = None
         inner_step = make_train_step(ignore, ncls, offw)
