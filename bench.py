@@ -104,6 +104,7 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         rpe_precision="default", qk_precision="default",
         attn_impl=impl,
         fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 2),
+        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 0),
         attn_bwd="pallas")
     model = Stratified(cfg)
 

@@ -36,6 +36,7 @@ class WindowAttention(nn.Module):
     tile_batch: int = 16           # tiles per lax.map step (chunked vmap)
     impl: str = "reference"        # "reference" (jnp) | "fused" (Pallas)
     bwd_impl: str = "pallas"       # fused backward: "pallas" | "jnp"
+    head_group: int = 0            # fused: heads per pallas_call (0 = all)
     w_chunk: int = 128
     interpret: bool = False        # Pallas interpret mode (CPU testing)
     dtype: str | None = None       # compute dtype for projections
@@ -120,7 +121,7 @@ class WindowAttention(nn.Module):
                 s_band=self.s_band,
                 rpe_precision=self.rpe_precision,
                 qk_precision=self.qk_precision, remat=self.remat,
-                bwd_impl=self.bwd_impl,
+                bwd_impl=self.bwd_impl, head_group=self.head_group,
             )
         else:
             out_sorted = attn_ops.stratified_attention(
@@ -158,6 +159,7 @@ class Block(nn.Module):
     tile_batch: int = 16
     impl: str = "reference"
     bwd_impl: str = "pallas"
+    head_group: int = 0
     w_chunk: int = 128
     interpret: bool = False
     dtype: str | None = None
@@ -179,6 +181,7 @@ class Block(nn.Module):
             rel_value=self.rel_value, qkv_bias=self.qkv_bias,
             band=self.band, tile=self.tile, tile_batch=self.tile_batch,
             impl=self.impl, bwd_impl=self.bwd_impl,
+            head_group=self.head_group,
             w_chunk=self.w_chunk, interpret=self.interpret,
             dtype=self.dtype, rpe_precision=self.rpe_precision,
             qk_precision=self.qk_precision, remat=self.remat,

@@ -115,6 +115,7 @@ class StratifiedConfig:
     # attention time and win on the MXU.
     fused_stages: int = 2
     attn_bwd: str = "pallas"                  # fused backward: "pallas"|"jnp"
+    head_group: int = 0                       # fused: heads per pallas_call
     w_chunk: int = 128
     # Sparse-band aux window per query tile. A tile's far-key segments span
     # max(ke)-min(ks) aux slots; measured max 37 at the stage-0 operating
@@ -240,6 +241,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio, band=band, tile=cfg.tile,
                 tile_batch=cfg.tile_batch, remat=cfg.attn_remat,
                 impl=impl, bwd_impl=cfg.attn_bwd,
+                head_group=cfg.head_group,
                 rpe_mode=cfg.rpe_mode,
                 shift_size=(ws / 2.0) if (b % 2) else 0.0,
                 w_chunk=cfg.w_chunk,

@@ -141,11 +141,36 @@ def _merge(parts):
     return acc / dsafe[:, :, None], m, den
 
 
+def _hslice(x, sl):
+    """Head-axis slice (axis 1) that passes None through."""
+    return None if x is None else x[:, sl]
+
+
+def _by_head_groups(h, group, call):
+    """Run ``call(head_slice)`` per head group and concatenate each output
+    along the head axis (axis 1); ``None`` outputs stay ``None``.
+
+    Heads are fully independent in every band/sparse kernel (separate
+    softmax per head), so splitting h into ceil(h/group) pallas_call's is
+    EXACT — it only changes Mosaic program size. The per-head-unrolled
+    kernels grow (and compile) superlinearly with h, which is what priced
+    the fused path out of stages 2-3 (h=12/24, docs/PERF_NOTES.md
+    "fused_stages=2"); head grouping caps the unroll factor instead.
+    """
+    if not group or group >= h:
+        return call(slice(None))
+    outs = [call(slice(g0, min(g0 + group, h)))
+            for g0 in range(0, h, group)]
+    return tuple(
+        None if parts[0] is None else jnp.concatenate(parts, axis=1)
+        for parts in zip(*outs))
+
+
 def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
               sparse_mask, table_q, table_k, table_v, *, window_size,
               quant_size, scale, band, tile, w_chunk, interpret,
               sparse_band=None, s_band=256, fast=False,
-              debug_skip=()):
+              head_group=0, debug_skip=()):
     """``debug_skip``: explicit kernel-bisection switch — any of
     {"band", "sparse"}. Only the debug tools pass it
     (tools/instability_ladder.py); the production path is env-independent.
@@ -154,21 +179,28 @@ def _fwd_impl(q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
     skip_sparse = "sparse" in debug_skip
     assert not (skip_band and skip_sparse), (
         "debug_skip cannot drop both attention halves")
-    parts = [] if skip_band else [band_attention(
-        q, k, v, xyz, seg_start, seg_end, valid,
-        table_q, table_k, table_v,
-        window_size=window_size, quant_size=quant_size, scale=scale,
-        band=band, tile=tile, w_chunk=w_chunk, interpret=interpret,
-        fast=fast)]
+    h = q.shape[1]
+    parts = [] if skip_band else [_by_head_groups(
+        h, head_group, lambda sl: band_attention(
+            q[:, sl], k[:, sl], v[:, sl], xyz, seg_start, seg_end, valid,
+            _hslice(table_q, sl), _hslice(table_k, sl),
+            _hslice(table_v, sl),
+            window_size=window_size, quant_size=quant_size, scale=scale,
+            band=band, tile=tile, w_chunk=w_chunk, interpret=interpret,
+            fast=fast))]
     if skip_sparse:
         pass
     elif sparse_band is not None:
-        parts.append(sparse_band_attention(
-            q, k, v, sparse_band,
-            table_q=table_q, table_k=table_k, table_v=table_v,
-            window_size=window_size, quant_size=quant_size, scale=scale,
-            s_band=s_band, tile=tile, w_chunk=min(w_chunk, s_band),
-            interpret=interpret, fast=fast))
+        parts.append(_by_head_groups(
+            h, head_group, lambda sl: sparse_band_attention(
+                q[:, sl], k[:, sl], v[:, sl], sparse_band,
+                table_q=_hslice(table_q, sl),
+                table_k=_hslice(table_k, sl),
+                table_v=_hslice(table_v, sl),
+                window_size=window_size, quant_size=quant_size,
+                scale=scale, s_band=s_band, tile=tile,
+                w_chunk=min(w_chunk, s_band),
+                interpret=interpret, fast=fast)))
     elif sparse_idx is not None:
         parts.append(_sparse_half(
             q, k, v, xyz, valid, sparse_idx, sparse_mask,
@@ -184,7 +216,7 @@ def stratified_attention_fused(
     *, window_size, quant_size, scale, band, tile=128, w_chunk=64,
     interpret=False, sparse_band=None, s_band=256,
     rpe_precision="highest", qk_precision="highest", remat="full",
-    bwd_impl="pallas",
+    bwd_impl="pallas", head_group=0,
 ):
     """Drop-in fused (Pallas) variant of
     ``ops.attention.stratified_attention``.
@@ -227,7 +259,7 @@ def stratified_attention_fused(
             q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
             sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
             interpret=interpret, sparse_band=sparse_band, s_band=s_band,
-            fast=fast)
+            fast=fast, head_group=head_group)
         return out
 
     def f_fwd(q, k, v, tq, tk, tv):
@@ -235,7 +267,7 @@ def stratified_attention_fused(
             q, k, v, xyz, seg_start, seg_end, valid, sparse_idx,
             sparse_mask, tq, tk, tv, **kw, w_chunk=w_chunk,
             interpret=interpret, sparse_band=sparse_band, s_band=s_band,
-            fast=fast)
+            fast=fast, head_group=head_group)
         res = ((q, k, v, tq, tk, tv, m, den, out) if pallas_bwd
                else (q, k, v, tq, tk, tv))
         return out, res
@@ -248,17 +280,23 @@ def stratified_attention_fused(
             import band_attention_bwd, sparse_band_attention_bwd
 
         q, k, v, tq, tk, tv, m, den, out = res
-        grads = band_attention_bwd(
-            q, k, v, xyz, seg_start, seg_end, valid, g, out, m, den,
-            tq, tk, tv, **kw, w_chunk=w_chunk, interpret=interpret,
-            fast=fast)
+        h = q.shape[1]
+        grads = _by_head_groups(
+            h, head_group, lambda sl: band_attention_bwd(
+                q[:, sl], k[:, sl], v[:, sl], xyz, seg_start, seg_end,
+                valid, g[:, sl], out[:, sl], m[:, sl], den[:, sl],
+                _hslice(tq, sl), _hslice(tk, sl), _hslice(tv, sl),
+                **kw, w_chunk=w_chunk, interpret=interpret, fast=fast))
         if sparse_band is not None:
-            sgrads = sparse_band_attention_bwd(
-                q, k, v, sparse_band, g, out, m, den, tq, tk, tv,
-                window_size=window_size, quant_size=quant_size,
-                scale=scale, s_band=s_band, tile=tile,
-                w_chunk=min(w_chunk, s_band), interpret=interpret,
-                fast=fast)
+            sgrads = _by_head_groups(
+                h, head_group, lambda sl: sparse_band_attention_bwd(
+                    q[:, sl], k[:, sl], v[:, sl], sparse_band, g[:, sl],
+                    out[:, sl], m[:, sl], den[:, sl],
+                    _hslice(tq, sl), _hslice(tk, sl), _hslice(tv, sl),
+                    window_size=window_size, quant_size=quant_size,
+                    scale=scale, s_band=s_band, tile=tile,
+                    w_chunk=min(w_chunk, s_band), interpret=interpret,
+                    fast=fast))
             grads = tuple(
                 a if b is None else (b if a is None else a + b)
                 for a, b in zip(grads, sgrads))

@@ -135,3 +135,38 @@ def test_sparse_band_kernel_direct(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m_p)[vq], np.asarray(m_j)[vq],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_head_grouped_matches_ungrouped(rng):
+    """head_group=1 (one pallas_call per head) is EXACT vs the all-heads
+    call, forward and gradients — grouping only changes Mosaic program
+    size (ops/attention_fused._by_head_groups)."""
+    plan, q, k, v = _setup(rng, n_valid=60, n_pad=64)
+    tq, tk, tv = _tables(rng)
+    cot = jnp.asarray(rng.normal(size=(64, H, D)).astype(np.float32))
+    kw = dict(window_size=WS, quant_size=QUANT, scale=SCALE, band=BAND,
+              tile=TILE, w_chunk=WCHUNK, interpret=True)
+
+    def run(head_group):
+        def loss(q_, k_, v_, a, b, c):
+            out = stratified_attention_fused(
+                q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted, sparse_band=plan.sparse_band,
+                table_q=a, table_k=b, table_v=c, head_group=head_group,
+                **kw)
+            return jnp.sum(out * cot), out
+        (l, out), grads = jax.value_and_grad(
+            loss, argnums=tuple(range(6)), has_aux=True)(
+                q, k, v, tq, tk, tv)
+        return out, grads
+
+    out0, g0 = run(0)
+    out1, g1 = run(1)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out0))
+    # grads reassociate inside the backward kernels' dk/dv/table
+    # reductions (order changes with the per-call head count) — fp32
+    # noise only, forward stays bit-exact
+    for a, b, name in zip(g0, g1, "q k v tq tk tv".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-6,
+            err_msg=name)

@@ -77,6 +77,7 @@ def build_model_config(cfg, n_devices):
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
         fused_stages=int(cfg.get("fused_stages", 2)),
+        head_group=int(cfg.get("head_group", 0)),
         band_per_stage=(tuple(int(x) for x in cfg.get("band_per_stage"))
                         if cfg.get("band_per_stage") else None),
         w_chunk=int(cfg.get("w_chunk", 128)),
