@@ -244,3 +244,12 @@ def test_crash_fallback_argv():
     tail = argv[-8:]
     assert tail == ["resume", "/runs/x/ckpt", "preflight", "true",
                     "preflight_retries", "8", "attn_impl", "reference"]
+
+
+def test_upload_overlap_smoke(tmp_path, monkeypatch):
+    """The opt-in overlapped-upload loop (upload_overlap: true) trains a
+    tiny epoch — covers the r4 pipelined-loop variant that overlaps
+    device_put with the executing step."""
+    _run_train(tmp_path, ["data_name", "synthetic", "synthetic_scenes",
+                          "4", "synthetic_points", "1200",
+                          "upload_overlap", "True"], monkeypatch)
