@@ -181,29 +181,59 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         + (f", mfu={100 * mfu:.1f}%" if mfu else "")
         + (f", hbm={100 * hbm_util:.1f}%" if hbm_util else ""))
 
-    e2e = None
-    if os.environ.get("ST_BENCH_E2E", "1") == "1":
-        try:
-            e2e = _measure_e2e(cfg, state, step, rng, iters)
-        except Exception as e:  # never lose the step numbers to the loop
-            log(f"{impl}: e2e loop failed ({e!r})")
-    return pps, 1e3 * dt, mfu, hbm_util, e2e
+    return pps, 1e3 * dt, mfu, hbm_util
 
 
-def _measure_e2e(cfg, state, step, rng, iters):
+def _measure_e2e(impl: str, n_pad: int, iters: int):
     """Wall-clock pts/s through the REAL driver loop: threaded BatchLoader
-    (fresh synthetic scenes, host pyramid + stem ball query), pipelined
-    device upload — the number a user's training run actually sees
-    (VERDICT r3: the step-only headline hid ~2/3 of the wall time).
+    (fresh synthetic scenes, host pyramid + stem ball query), jit-path
+    step — the number a user's training run actually sees (VERDICT r3:
+    the step-only headline hid ~2/3 of the wall time).
 
-    Reuses the already-compiled step + state from `_measure_path`; the
-    loader builds distinct batches, so this also covers host/upload work
-    the fixed-batch loop skips.
+    Runs LAST in the bench (after every path's step measurement) and
+    mirrors train.py's proven pattern exactly: `jax.jit` dispatch (NOT
+    the AOT executable), no donation, upload after the step-block. The
+    AOT-executable + fresh-buffer + donation combination crashed the
+    axon runtime twice on the PURE-JNP path (r4) — this loop is the
+    train.py shape that ran 59 production epochs the same day.
     """
     import jax
 
     import train as train_mod
     from stratified_transformer_tpu.data import datasets
+    from stratified_transformer_tpu.data.collate import with_stem_neighbors
+    from stratified_transformer_tpu.data.pyramid import (
+        build_geometry_pyramid)
+    from stratified_transformer_tpu.models.stratified import (
+        Stratified, StratifiedConfig)
+    from stratified_transformer_tpu.train.schedulers import multi_step
+    from stratified_transformer_tpu.train.state import create_train_state
+    from stratified_transformer_tpu.train.step import make_train_step
+    from __graft_entry__ import _example_batch
+
+    cfg = StratifiedConfig(
+        num_classes=13, in_channels=6, n_pad=n_pad, num_scenes=2,
+        band=128, tile=128, sparse_cap=48, sampler="grid",
+        band_per_stage=(128, 128, 384, 192),
+        rpe_precision="default", qk_precision="default",
+        attn_impl=impl,
+        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 2),
+        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 0),
+        attn_bwd="pallas")
+    model = Stratified(cfg)
+    b = _example_batch(n_pad, 2, cfg.in_channels)
+    b = with_stem_neighbors(
+        b, radius=2.5 * cfg.grid_size * cfg.sigma, k=cfg.max_num_neighbors)
+    init_batch = {"feats": b.feats, "xyz": b.xyz, "offsets": b.offsets,
+                  "labels": b.labels, "stem_nidx": b.stem_nidx,
+                  "stem_nmask": b.stem_nmask,
+                  "pyramid": build_geometry_pyramid(b.xyz, b.offsets, cfg)}
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (init_batch["feats"], init_batch["xyz"], init_batch["offsets"]),
+        multi_step(0.006, [60, 80], 0.1))
+    step = jax.jit(make_train_step(ignore_label=255, num_classes=13))
+    rng = jax.random.PRNGKey(1)
 
     ds = datasets.SyntheticRooms(
         num_scenes=16, points=30000, voxel_size=cfg.grid_size,
@@ -214,11 +244,6 @@ def _measure_e2e(cfg, state, step, rng, iters):
     loader = train_mod.BatchLoader(ds, cfg, ldr_cfg, 1, shuffle=True,
                                    seed=123)
     wall = points = n_done = 0
-    # Upload AFTER blocking on the step (ST_BENCH_UPLOAD_OVERLAP=1 to
-    # overlap): an async device_put racing a large executing program
-    # reproduces the axon INVALID_ARGUMENT fault class on the PURE-JNP
-    # path (r4, N=40960) — same default as train.py `upload_overlap`.
-    overlap = os.environ.get("ST_BENCH_UPLOAD_OVERLAP") == "1"
     for rep in range(2):  # rep 0 warms the loader+shapes; rep 1 is timed
         itr = iter(loader)
         cur = next(itr, None)
@@ -228,20 +253,15 @@ def _measure_e2e(cfg, state, step, rng, iters):
         while cur is not None and n_it < iters:
             st, stats = step(st, cur_dev, rng)
             cur = next(itr, None)
-            if overlap:
-                cur_dev = (jax.device_put(cur[0])
-                           if cur is not None else None)
             n_pts += int(stats["points"])  # blocks on this step
-            if not overlap:
-                cur_dev = (jax.device_put(cur[0])
-                           if cur is not None else None)
+            cur_dev = jax.device_put(cur[0]) if cur is not None else None
             n_it += 1
         jax.block_until_ready(stats["loss"])
         if rep == 1:
             wall = time.perf_counter() - t0
             points, n_done = n_pts, n_it
     pps = points / max(wall, 1e-9)
-    log(f"e2e driver loop: {n_done} iters, "
+    log(f"{impl} e2e driver loop: {n_done} iters, "
         f"{1e3 * wall / max(n_done, 1):.1f} ms/step wall, {pps:,.0f} pts/s")
     return {"pts_per_sec": round(pps, 1),
             "step_ms_wall": round(1e3 * wall / max(n_done, 1), 1)}
@@ -303,9 +323,10 @@ def main():
 
     extras = dict(preflight_extra)
     best = 0.0
+    best_impl = None
     for impl in [p.strip() for p in paths if p.strip()]:
         try:
-            pps, ms, mfu, hbm_util, e2e = _measure_path(impl, n_pad, iters)
+            pps, ms, mfu, hbm_util = _measure_path(impl, n_pad, iters)
         except Exception as e:
             log(f"{impl}: FAILED {e!r}")
             extras[f"{impl}_error"] = repr(e)[:200]
@@ -316,14 +337,21 @@ def main():
             extras[f"{impl}_mfu"] = round(mfu, 4)
         if hbm_util is not None:
             extras[f"{impl}_hbm_util"] = round(hbm_util, 4)
-        if e2e is not None:
-            extras[f"{impl}_e2e_pts_per_sec"] = e2e["pts_per_sec"]
-            extras[f"{impl}_e2e_step_ms_wall"] = e2e["step_ms_wall"]
         if pps > best:
             best = pps
+            best_impl = impl
             RESULT["value"] = round(pps, 1)
             if mfu is not None:
                 extras["mfu"] = round(mfu, 4)
+    # e2e LAST so a runtime fault here can never cost the step A/B above.
+    if best_impl is not None and os.environ.get("ST_BENCH_E2E", "1") == "1":
+        try:
+            e2e = _measure_e2e(best_impl, n_pad, iters)
+            extras[f"{best_impl}_e2e_pts_per_sec"] = e2e["pts_per_sec"]
+            extras[f"{best_impl}_e2e_step_ms_wall"] = e2e["step_ms_wall"]
+        except Exception as e:
+            log(f"e2e loop failed ({e!r})")
+            extras["e2e_error"] = repr(e)[:200]
     emit(extras)
 
 
