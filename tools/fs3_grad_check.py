@@ -36,6 +36,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=2)
     ap.add_argument("--head-group", type=int, default=6)
+    ap.add_argument("--half", choices=["both", "band", "sparse"],
+                    default="both",
+                    help="bisect: compare only the band half (sparse "
+                         "dropped on both paths) or only the sparse half")
+    ap.add_argument("--band", type=int, default=0,
+                    help="override the stage's band width (bisect the "
+                         "band-width dependence)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +58,8 @@ def main():
     from __graft_entry__ import _example_batch
 
     n, h, ws, qs, band = STAGES[args.stage]
+    if args.band:
+        band = args.band
     d = 16
     npad = ((n + 127) // 128) * 128
     b = _example_batch(npad, 2, 6, seed=args.stage)
@@ -77,16 +86,40 @@ def main():
 
     kw = dict(window_size=ws, quant_size=qs, scale=d ** -0.5, band=band,
               tile=128)
+    sb_jnp = plan.sparse_band if args.half in ("both", "sparse") else None
+    # band-only jnp == band half; sparse-only fused uses debug_skip
+    skip = {"both": (), "band": ("sparse",), "sparse": ("band",)}[args.half]
 
     def loss_jnp(q_, k_, v_, a, bb, c):
+        if args.half == "sparse":
+            # sparse half alone: unnormalised triple from the jnp helper
+            acc, m, den = A.sparse_band_triple(
+                q_ * (d ** -0.5), k_, v_, plan.xyz_sorted,
+                plan.sparse_band, table_q=a, table_k=bb, table_v=c,
+                window_size=ws, quant_size=qs, scale=1.0, s_band=128,
+                tile=128, tile_batch=16, rpe_precision="default",
+                qk_precision="default")
+            out = acc / jnp.maximum(den, 1e-20)[:, :, None]
+            return jnp.sum(out * cot), out
         out = A.stratified_attention(
             q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
             plan.valid_sorted, table_q=a, table_k=bb, table_v=c,
-            sparse_band=plan.sparse_band, tile_batch=16,
+            sparse_band=sb_jnp, tile_batch=16,
             rpe_precision="default", qk_precision="default", **kw)
         return jnp.sum(out * cot), out
 
     def loss_fused(q_, k_, v_, a, bb, c):
+        if args.half != "both":
+            # forward-only bisect (no custom VJP on the raw halves)
+            from stratified_transformer_tpu.ops.attention_fused import (
+                _fwd_impl)
+            out, _, _ = _fwd_impl(
+                q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted, None, None, a, bb, c,
+                sparse_band=plan.sparse_band, s_band=128, w_chunk=128,
+                fast=True, interpret=False, head_group=args.head_group,
+                debug_skip=skip, **kw)
+            return jnp.sum(out * cot), out
         out = stratified_attention_fused(
             q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
             plan.valid_sorted, table_q=a, table_k=bb, table_v=c,
@@ -95,12 +128,17 @@ def main():
             head_group=args.head_group, **kw)
         return jnp.sum(out * cot), out
 
-    gj = jax.jit(jax.value_and_grad(
-        loss_jnp, argnums=tuple(range(6)), has_aux=True))
-    gf = jax.jit(jax.value_and_grad(
-        loss_fused, argnums=tuple(range(6)), has_aux=True))
-    (lj, outj), grj = gj(q, k, v, *tabs)
-    (lf, outf), grf = gf(q, k, v, *tabs)
+    if args.half == "both":
+        gj = jax.jit(jax.value_and_grad(
+            loss_jnp, argnums=tuple(range(6)), has_aux=True))
+        gf = jax.jit(jax.value_and_grad(
+            loss_fused, argnums=tuple(range(6)), has_aux=True))
+        (lj, outj), grj = gj(q, k, v, *tabs)
+        (lf, outf), grf = gf(q, k, v, *tabs)
+    else:
+        (lj, outj) = jax.jit(loss_jnp)(q, k, v, *tabs)
+        (lf, outf) = jax.jit(loss_fused)(q, k, v, *tabs)
+        grj = grf = ()
     print(f"loss jnp {float(lj):.6g} fused {float(lf):.6g}", flush=True)
 
     def stats(name, a, bb):
