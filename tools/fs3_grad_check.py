@@ -32,6 +32,14 @@ STAGES = {
 }
 
 
+def rng_snap(c, cell):
+    """Small jitter around cell centers (points near but not exactly on
+    quantization boundaries — the documented bin-flip hot zone)."""
+    r = np.random.default_rng(7)
+    return (cell / 2 + r.uniform(-cell * 0.05, cell * 0.05, c.shape)
+            ).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=2)
@@ -43,6 +51,13 @@ def main():
     ap.add_argument("--band", type=int, default=0,
                     help="override the stage's band width (bisect the "
                          "band-width dependence)")
+    ap.add_argument("--shifted", action="store_true",
+                    help="probe the SHIFTED-parity window plan (the r4 "
+                         "static probes only covered shifted=False)")
+    ap.add_argument("--grid-coords", action="store_true",
+                    help="snap coords to the stage's pooling-grid cell "
+                         "centers (real stage-2 inputs are grid reps, "
+                         "not uniform random)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +78,15 @@ def main():
     d = 16
     npad = ((n + 127) // 128) * 128
     b = _example_batch(npad, 2, 6, seed=args.stage)
-    xyz = jnp.asarray(b.xyz)
+    coords = np.asarray(b.xyz)
+    if args.grid_coords:
+        # stage-i inputs are grid-pool representatives: coordinates of
+        # points that survived pooling at cell ~ grid*2^(i-1)*2 — snap to
+        # a realistic lattice neighborhood instead of uniform random
+        cell = 0.04 * (2 ** args.stage)
+        coords = (np.floor(coords / cell) * cell
+                  + rng_snap(coords, cell)).astype(np.float32)
+    xyz = jnp.asarray(coords)
     offsets = jnp.asarray(b.offsets)
     batch_ids = S.offsets_to_batch(offsets, npad)
     valid = S.offsets_to_valid(offsets, npad)
@@ -78,10 +101,11 @@ def main():
     is_down = jnp.asarray(rng.uniform(size=npad) < 1 / 8) & valid
     aux_pad = ((npad // 8 + 2 + 127) // 128) * 128
     plan = jax.jit(lambda: P.build_attention_plan(
-        xyz, batch_ids, valid, ws, shifted=False, is_down=is_down,
-        sparse_cap=48, aux_pad=aux_pad))()
+        xyz, batch_ids, valid, ws, shifted=bool(args.shifted),
+        is_down=is_down, sparse_cap=48, aux_pad=aux_pad))()
     print(f"stage{args.stage}: npad={npad} h={h} band={band} "
-          f"nbins={nbins} head_group={args.head_group}",
+          f"nbins={nbins} head_group={args.head_group} "
+          f"shifted={args.shifted} grid_coords={args.grid_coords}",
           flush=True)
 
     kw = dict(window_size=ws, quant_size=qs, scale=d ** -0.5, band=band,
