@@ -1,0 +1,80 @@
+"""Host->device batch payload compression (uint16 index narrowing).
+
+The training batch at the S3DIS operating point (n_pad 40960) ships
+~13 MB/step over the tunneled runtime, and most of it is int32 index
+arrays whose values are bounded by the (padded) point count of some
+pyramid level: ``stem_nidx`` [n_pad, 34] alone is 5.6 MB, the host
+pyramid's ``idx``/``knn_idx``/``up.idx`` another ~3 MB.  Every one of
+those arrays is built gather-safe — masked slots hold the point's own
+index, never ``-1`` (``data/collate.py:with_stem_neighbors``,
+``data/pyramid.py``) — so when ``n_pad < 65536`` they all fit uint16
+exactly.  Narrowing on the host halves their transfer bytes; the jitted
+step widens them back to int32 as its first op (a fused
+``convert_element_type``, free against the step).
+
+The gate is STATIC (config ``n_pad``), never data-dependent: a
+data-dependent dtype would change the jit signature between batches and
+recompile.  ScanNet-scale configs (n_pad >= 65536) are left untouched.
+
+Labels ride along too: class ids plus the ignore sentinel (255 by
+convention, reference ``util/data_util.py``) are far below 65536.
+
+The reference has no analogue — its DataLoader ships CPU torch tensors
+over PCIe where narrowing is not worth the cast; over the axon tunnel
+(~100 MB/s effective, docs/PERF_NOTES.md "Dispatch/transfer RTT") it is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# keys never narrowed: scene offsets take part in host-side arithmetic
+# (np.diff / cumsum in eval tools) where silent uint16 wraparound on a
+# subtraction would be a footgun for a few dozen saved bytes.
+_SKIP = ("offsets",)
+
+
+def _narrow(x):
+    if (isinstance(x, np.ndarray) and x.dtype in (np.int32, np.int64)
+            and x.size):
+        return x.astype(np.uint16)
+    return x
+
+
+def compress_batch(batch, n_pad):
+    """Narrow a host batch dict's index/label arrays to uint16.
+
+    No-op (returns ``batch`` unchanged) when any point count can reach
+    65536.  Bool masks and float arrays pass through; nested pytrees
+    (the host pyramid) are walked recursively.
+    """
+    if n_pad >= 65536:
+        return batch
+
+    def walk(obj):
+        if isinstance(obj, dict):
+            return {k: (obj[k] if k in _SKIP else walk(obj[k]))
+                    for k in obj}
+        if isinstance(obj, (tuple, list)):
+            return type(obj)(walk(v) for v in obj)
+        return _narrow(obj)
+
+    return walk(batch)
+
+
+def widen_batch(batch):
+    """Inverse of :func:`compress_batch`, for use INSIDE a jitted step.
+
+    Unconditionally maps every unsigned sub-int32 leaf back to int32 —
+    a no-op program when the loader shipped plain int32 (so every step
+    function can call it unconditionally).
+    """
+    import jax.numpy as jnp
+
+    def widen(x):
+        if hasattr(x, "dtype") and x.dtype in (jnp.uint16, jnp.uint8):
+            return x.astype(jnp.int32)
+        return x
+
+    import jax
+    return jax.tree.map(widen, batch)

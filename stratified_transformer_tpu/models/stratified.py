@@ -316,6 +316,12 @@ class Stratified(nn.Module):
         feats_stack, xyz_stack, off_stack, grid_stack = [], [], [], []
         caps = cfg.stage_caps()
         cap_i = 0
+        if pyramid is not None:
+            # accept uint16-narrowed payloads from the loader directly
+            # (data/compress.py) so direct model.apply callers need no
+            # manual widening
+            from stratified_transformer_tpu.data.compress import widen_batch
+            pyramid = widen_batch(pyramid)
         down_pre = list(pyramid["down"]) if pyramid is not None else None
         up_pre = list(pyramid["up"]) if pyramid is not None else None
         sd_pre = (list(pyramid["stage_down"])

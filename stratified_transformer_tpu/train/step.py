@@ -14,6 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from stratified_transformer_tpu.data import compress
 from stratified_transformer_tpu.ops import sampling
 from stratified_transformer_tpu.train import losses, metrics
 
@@ -27,6 +28,9 @@ def make_train_step(ignore_label, num_classes, offset_weight=1.0,
     """
 
     def train_step(state, batch, rng):
+        # uint16 payload narrowing (data/compress.py) widens back here —
+        # a fused no-op when the loader shipped int32
+        batch = compress.widen_batch(batch)
         n = batch["xyz"].shape[0]
         valid = sampling.offsets_to_valid(batch["offsets"], n)
         step_rng = jax.random.fold_in(rng, state.step)
@@ -92,6 +96,7 @@ def make_split_train_step(ignore_label, num_classes, offset_weight=1.0):
     def grad_step(state, batch, rng):
         # jit prunes unused args (keep_unused=False default): the optimizer
         # state never enters this program.
+        batch = compress.widen_batch(batch)
         n = batch["xyz"].shape[0]
         valid = sampling.offsets_to_valid(batch["offsets"], n)
         step_rng = jax.random.fold_in(rng, state.step)
@@ -145,6 +150,7 @@ def make_eval_step(ignore_label, num_classes, axis_name=None):
     reference ``train_backup.py:397-409`` / ``validate``)."""
 
     def eval_step(state, batch):
+        batch = compress.widen_batch(batch)
         n = batch["xyz"].shape[0]
         valid = sampling.offsets_to_valid(batch["offsets"], n)
         variables = {"params": state.params,

@@ -86,3 +86,107 @@ def test_config_load_and_merge(tmp_path):
     cfg2 = merge_cfg_from_list(cfg, ["classes", "20", "base_lr", "0.1"])
     assert cfg2.classes == 20 and np.isclose(cfg2.base_lr, 0.1)
     assert cfg.classes == 13  # original untouched
+
+
+def test_compress_roundtrip_and_gating():
+    from stratified_transformer_tpu.data.compress import (
+        compress_batch, widen_batch)
+    rng = np.random.default_rng(3)
+    batch = {
+        "feats": rng.normal(size=(64, 6)).astype(np.float32),
+        "offsets": np.array([40, 64], np.int32),
+        "labels": rng.integers(0, 13, 64).astype(np.int32),
+        "stem_nidx": rng.integers(0, 64, (64, 8)).astype(np.int32),
+        "stem_nmask": rng.random((64, 8)) > 0.5,
+        "pyramid": {"down": ({"idx": rng.integers(0, 64, 16).astype(
+            np.int32), "valid": np.ones(16, bool),
+            "offsets": np.array([10, 16], np.int32),
+            "knn_idx": rng.integers(0, 64, (16, 4)).astype(np.int32),
+            "knn_mask": np.ones((16, 4), bool)},),
+            "up": ({"idx": rng.integers(0, 16, (64, 3)).astype(np.int32),
+                    "mask": np.ones((64, 3), bool)},),
+            "stage_down": ({"is_down": np.zeros(64, bool)},)},
+    }
+    comp = compress_batch(batch, n_pad=64)
+    # indices narrowed, offsets/floats/bools untouched
+    assert comp["stem_nidx"].dtype == np.uint16
+    assert comp["labels"].dtype == np.uint16
+    assert comp["pyramid"]["down"][0]["knn_idx"].dtype == np.uint16
+    assert comp["pyramid"]["up"][0]["idx"].dtype == np.uint16
+    assert comp["offsets"].dtype == np.int32
+    assert comp["pyramid"]["down"][0]["offsets"].dtype == np.int32
+    assert comp["feats"].dtype == np.float32
+    assert comp["stem_nmask"].dtype == bool
+    # ScanNet-scale gate: untouched at n_pad >= 65536
+    assert compress_batch(batch, n_pad=65536) is batch
+
+    wide = widen_batch(comp)
+    for path in ("stem_nidx", "labels"):
+        got = np.asarray(wide[path])
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, batch[path])
+    np.testing.assert_array_equal(
+        np.asarray(wide["pyramid"]["down"][0]["knn_idx"]),
+        batch["pyramid"]["down"][0]["knn_idx"])
+    np.testing.assert_array_equal(
+        np.asarray(wide["pyramid"]["up"][0]["idx"]),
+        batch["pyramid"]["up"][0]["idx"])
+    np.testing.assert_array_equal(np.asarray(wide["feats"]), batch["feats"])
+
+
+def test_compressed_step_matches_uncompressed():
+    """One jitted train step on a compressed batch must produce EXACTLY
+    the stats (and params) of the uncompressed batch: widening restores
+    the int32 program bit-for-bit."""
+    import dataclasses
+
+    from stratified_transformer_tpu.data.compress import compress_batch
+    from stratified_transformer_tpu.models.stratified import (
+        Stratified, StratifiedConfig)
+    from stratified_transformer_tpu.train.schedulers import multi_step
+    from stratified_transformer_tpu.train.state import create_train_state
+    from stratified_transformer_tpu.train.step import make_train_step
+
+    cfg = StratifiedConfig(
+        num_classes=5, in_channels=6, channels=(16, 32), depths=(1, 1),
+        num_heads=(2, 4), num_layers=2, n_pad=256, num_scenes=1,
+        band=32, band_per_stage=(32, 32), tile=32, sparse_cap=16,
+        drop_path_rate=0.0)
+    rng = np.random.default_rng(7)
+    n_valid = 200
+    xyz = np.zeros((256, 3), np.float32)
+    xyz[:n_valid] = rng.uniform(0, 2, (n_valid, 3))
+    feats = np.concatenate([rng.normal(size=(256, 3)).astype(np.float32),
+                            xyz], 1)
+    offsets = np.array([n_valid, 256], np.int32)
+    labels = np.where(np.arange(256) < n_valid,
+                      rng.integers(0, 5, 256), 255).astype(np.int32)
+
+    from stratified_transformer_tpu.data.collate import (
+        PaddedBatch, with_stem_neighbors)
+    from stratified_transformer_tpu.data.pyramid import (
+        build_geometry_pyramid)
+    pb = PaddedBatch(feats=feats, xyz=xyz, offsets=offsets, labels=labels,
+                     stem_nidx=None, stem_nmask=None, target_shift=None)
+    pb = with_stem_neighbors(pb, radius=2.5 * cfg.grid_size * cfg.sigma,
+                             k=cfg.max_num_neighbors)
+    batch = {"feats": feats, "xyz": xyz, "offsets": offsets,
+             "labels": labels, "stem_nidx": pb.stem_nidx,
+             "stem_nmask": pb.stem_nmask,
+             "pyramid": build_geometry_pyramid(xyz, offsets, cfg)}
+    comp = compress_batch(batch, cfg.n_pad)
+    assert comp["stem_nidx"].dtype == np.uint16
+
+    model = Stratified(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (feats, xyz, offsets),
+        multi_step(0.006, [60], 0.1))
+    step = jax.jit(make_train_step(255, 5))
+    key = jax.random.PRNGKey(1)
+    s1, stats1 = step(state, batch, key)
+    s2, stats2 = step(state, comp, key)
+    assert float(stats1["loss"]) == float(stats2["loss"])
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -29,9 +29,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _flatten(tree, prefix=()):
+    """Depth-first (module-order) flatten of a nested intermediates dict;
+    flax sows __call__ outputs as tuples."""
+    if isinstance(tree, dict):
+        for k in tree:
+            yield from _flatten(tree[k], prefix + (k,))
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            yield from _flatten(v, prefix + (i,))
+    else:
+        yield prefix, tree
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="/tmp/fs3_train/ckpt")
+    ap.add_argument("--layerwise", action="store_true",
+                    help="capture every module output (flax "
+                         "capture_intermediates) for impls A and C and "
+                         "report the FIRST diverging block on this batch")
     args = ap.parse_args()
 
     from stratified_transformer_tpu.utils import enable_persistent_cache
@@ -85,6 +102,42 @@ def main():
                 pyramid=batch.get("pyramid"))
             return logits
         return np.asarray(f())
+
+    if args.layerwise:
+        def fwd_cap(m_cfg):
+            mdl = Stratified(m_cfg)
+
+            @jax.jit
+            def f():
+                _, inter = mdl.apply(
+                    variables, batch["feats"], batch["xyz"],
+                    batch["offsets"], training=False,
+                    stem_nidx=batch.get("stem_nidx"),
+                    stem_nmask=batch.get("stem_nmask"),
+                    pyramid=batch.get("pyramid"),
+                    capture_intermediates=True, mutable=["intermediates"])
+                return inter["intermediates"]
+            return jax.tree.map(np.asarray, f())
+
+        ia = fwd_cap(mcfg)
+        print("A intermediates done", flush=True)
+        ic = fwd_cap(dataclasses.replace(mcfg, attn_impl="reference"))
+        print("C intermediates done", flush=True)
+        flat_a = {"/".join(str(k) for k in p): v for p, v in
+                  _flatten(ia)}
+        flat_c = {"/".join(str(k) for k in p): v for p, v in
+                  _flatten(ic)}
+        print(f"{len(flat_a)} captured tensors; per-module max rel diff "
+              f"(model order):")
+        for key in flat_a:
+            a, c = flat_a[key], flat_c.get(key)
+            if c is None or a.shape != c.shape or a.dtype.kind not in "f":
+                continue
+            d = np.abs(a.astype(np.float64) - c.astype(np.float64))
+            scale = np.abs(c).astype(np.float64).mean() + 1e-12
+            print(f"  {key}: maxabs {d.max():.4e} "
+                  f"meanrel {d.mean() / scale:.4e}", flush=True)
+        return
 
     la = fwd(mcfg)
     print("A (fs3 hg6) done", flush=True)

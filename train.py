@@ -202,6 +202,13 @@ class BatchLoader:
                     b.xyz, b.offsets, mcfg)
             if b.target_shift is not None:
                 d_batch["target_shift"] = b.target_shift
+            # uint16 index narrowing halves the tunnel payload of
+            # stem_nidx + pyramid indices at n_pad < 65536; the jitted
+            # step widens back (data/compress.py)
+            if bool(self.cfg.get("compress_payload", True)):
+                from stratified_transformer_tpu.data.compress import (
+                    compress_batch)
+                d_batch = compress_batch(d_batch, mcfg.n_pad)
             per_dev.append(d_batch)
         return per_dev
 
