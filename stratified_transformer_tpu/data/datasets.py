@@ -14,11 +14,38 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 from stratified_transformer_tpu.data.prepare import data_prepare
+
+
+class _VisitRng:
+    """Deterministic per-(item, visit-count) augmentation RNG streams.
+
+    The reference advances ONE ``np.random`` state across the whole run,
+    so its augmentation draws depend on DataLoader worker scheduling.
+    Here each ``__getitem__`` call gets a fresh generator seeded by
+    ``(seed, idx, n_prior_visits_of_idx)`` — the stream is a pure
+    function of the access MULTISET, so any number of prefetch workers
+    (train.py ``prefetch_workers``) produces bit-identical batches in
+    any interleaving. The visit counter is the only shared state and is
+    lock-guarded (``np.random.Generator`` is not thread-safe).
+    """
+
+    def __init__(self, seed):
+        self.seed = int(seed)
+        self._visits = {}
+        self._lock = threading.Lock()
+
+    def for_item(self, idx):
+        idx = int(idx)
+        with self._lock:
+            v = self._visits.get(idx, 0)
+            self._visits[idx] = v + 1
+        return np.random.default_rng((self.seed, idx, v))
 
 
 class S3DIS:
@@ -41,7 +68,7 @@ class S3DIS:
             self.data_list = [i for i in items if tag not in i]
         else:
             self.data_list = [i for i in items if tag in i]
-        self.rng = np.random.default_rng(seed)
+        self._rng = _VisitRng(seed)
 
     def __len__(self):
         return len(self.data_list) * self.loop
@@ -53,7 +80,7 @@ class S3DIS:
         return data_prepare(
             coord, feat, label, self.split, self.voxel_size, self.voxel_max,
             self.transform, self.shuffle_index, feat_scale=255.0,
-            rng=self.rng)
+            rng=self._rng.for_item(idx))
 
 
 class Scannetv2:
@@ -78,7 +105,7 @@ class Scannetv2:
             raise ValueError(split)
         self.files = sorted(
             f for d in dirs for f in glob.glob(os.path.join(d, "*.pth")))
-        self.rng = np.random.default_rng(seed)
+        self._rng = _VisitRng(seed)
 
     def __len__(self):
         return len(self.files) * self.loop
@@ -92,7 +119,8 @@ class Scannetv2:
         return data_prepare(
             np.asarray(coord), np.asarray(feat), np.asarray(label),
             self.split, self.voxel_size, self.voxel_max, self.transform,
-            self.shuffle_index, feat_scale=1.0, rng=self.rng)
+            self.shuffle_index, feat_scale=1.0,
+            rng=self._rng.for_item(idx))
 
 
 class DCF:
@@ -115,7 +143,7 @@ class DCF:
                 f for f in glob.glob(os.path.join(root, flag, "*"))
                 if "cube" in f]
         self.files.sort()
-        self.rng = np.random.default_rng(seed)
+        self._rng = _VisitRng(seed)
 
     def __len__(self):
         return len(self.files)
@@ -140,12 +168,13 @@ class DCF:
     def __getitem__(self, idx):
         coord, label, t_shift, feat, _ = self.load_item(
             self.files[idx % len(self.files)])
-        coord = coord + self.rng.normal(scale=self.sigma, size=coord.shape)
-        coord = coord + self.rng.normal(scale=0.1, size=(1, 3))
+        rng = self._rng.for_item(idx)
+        coord = coord + rng.normal(scale=self.sigma, size=coord.shape)
+        coord = coord + rng.normal(scale=0.1, size=(1, 3))
         return data_prepare(
             coord, feat, label, self.split, self.voxel_size, self.voxel_max,
             transform=None, shuffle_index=self.shuffle_index, feat_scale=1.0,
-            target_shift=t_shift, rng=self.rng)
+            target_shift=t_shift, rng=rng)
 
 
 class SyntheticRooms:

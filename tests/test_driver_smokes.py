@@ -9,6 +9,7 @@ library. Also covers mix3d wiring (``mix3d: 1.0`` halves the offset count).
 import os
 import sys
 
+import jax
 import numpy as np
 import pytest
 import torch
@@ -253,3 +254,42 @@ def test_upload_overlap_smoke(tmp_path, monkeypatch):
     _run_train(tmp_path, ["data_name", "synthetic", "synthetic_scenes",
                           "4", "synthetic_points", "1200",
                           "upload_overlap", "True"], monkeypatch)
+
+
+def test_multiworker_prefetch_matches_sync_with_aug(tmp_path):
+    """`prefetch_workers: 2` yields bit-identical batches to the sync
+    loader on an AUGMENTED dataset: per-(item, visit) RNG streams
+    (data/datasets._VisitRng) make augmentation draws independent of
+    worker scheduling. Fresh dataset per loader — visit counters are
+    run-scoped state."""
+    from train import BatchLoader, build_dataset, build_model_config
+    from stratified_transformer_tpu.utils.config import load_cfg
+
+    root = str(tmp_path / "s3dis")
+    _make_s3dis(root, rooms=4, n=500)
+    cfg = load_cfg(os.path.join(REPO, "configs", "synthetic_smoke.yaml"))
+    cfg.update({"data_name": "s3dis", "data_root": root, "test_area": 5,
+                "classes": 13, "loop": 2, "aug": True,
+                "voxel_max": 300, "batch_size": 2, "max_batch_points": 2048,
+                "tile": 32, "band": 32, "num_layers": 2, "depths": [1, 1],
+                "channels": [16, 32], "num_heads": [2, 4],
+                "band_per_stage": None, "host_pyramid": True})
+    mcfg = build_model_config(cfg, 1)
+
+    cfg["prefetch_workers"] = 2
+    multi = list(BatchLoader(build_dataset(cfg, "train", mcfg),
+                             mcfg, cfg, 1, shuffle=True, seed=3))
+    cfg["prefetch"] = False
+    sync = list(BatchLoader(build_dataset(cfg, "train", mcfg),
+                            mcfg, cfg, 1, shuffle=True, seed=3))
+    assert len(multi) == len(sync) > 1
+    for bt, bs in zip(multi, sync):
+        for key in bt[0]:
+            if key == "pyramid":
+                a = jax.tree.leaves(bt[0][key])
+                b = jax.tree.leaves(bs[0][key])
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(x, y)
+            else:
+                np.testing.assert_array_equal(
+                    bt[0][key], bs[0][key], err_msg=key)

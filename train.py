@@ -227,22 +227,35 @@ class BatchLoader:
                             (bi + 1) * self.scenes_per_batch]
                 yield self._make_batch(ids)
             return
-        q: queue.Queue = queue.Queue(maxsize=2)
+        # Ordered multi-worker prefetch: worker w builds batches w, w+W,
+        # w+2W, ... into its own bounded queue; the consumer round-robins
+        # so batch order (and therefore training) is IDENTICAL to the
+        # single-worker loader (tests/test_driver_smokes.py equality
+        # test). Most of `_make_batch` is numpy/C++ that releases the
+        # GIL (voxelize, grid pyramid, C++ stem query), so 2 workers
+        # genuinely overlap on a 2-core host — the measured ~0.6 s/step
+        # load-wait is the wall-clock gap between the device step and
+        # the training cadence (docs/PERF_NOTES.md round-4 addendum).
+        # NOTE mix3d: `_mix_rng` draws once per non-empty batch in
+        # `_make_batch`; with W>1 the draw ORDER across batches changes,
+        # so mix3d>0 pins W=1 to keep runs bit-reproducible.
+        n_workers = max(int(self.cfg.get("prefetch_workers", 2)), 1)
+        if self.mix3d_p > 0:
+            n_workers = 1
+        qs = [queue.Queue(maxsize=2) for _ in range(n_workers)]
 
-        def worker():
-            for bi in range(self.batches_per_epoch):
+        def worker(w):
+            for bi in range(w, self.batches_per_epoch, n_workers):
                 ids = order[bi * self.scenes_per_batch:
                             (bi + 1) * self.scenes_per_batch]
-                q.put(self._make_batch(ids))
-            q.put(None)
+                qs[w].put(self._make_batch(ids))
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(n_workers)]
+        for t in threads:
+            t.start()
+        for bi in range(self.batches_per_epoch):
+            yield qs[bi % n_workers].get()
 
 
 def _handle_step_crash(cfg, logger, save_path, epoch, it, err, attn_impl):
