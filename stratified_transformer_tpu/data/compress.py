@@ -16,8 +16,12 @@ The gate is STATIC (config ``n_pad``), never data-dependent: a
 data-dependent dtype would change the jit signature between batches and
 recompile.  ScanNet-scale configs (n_pad >= 65536) are left untouched.
 
-Labels ride along too: class ids plus the ignore sentinel (255 by
-convention, reference ``util/data_util.py``) are far below 65536.
+Labels ride along only when provably safe: class ids plus a
+non-negative ignore sentinel (255 by convention, reference
+``util/data_util.py``) fit, but ScanNetv2-style ``ignore_label: -100``
+(reference ``config/scannetv2/*.yaml``) would wrap to 65436 under
+uint16, so every array is range-checked before narrowing — anything
+holding a negative or >= 65536 value ships as-is.
 
 The reference has no analogue — its DataLoader ships CPU torch tensors
 over PCIe where narrowing is not worth the cast; over the axon tunnel
@@ -37,7 +41,14 @@ _SKIP = ("offsets",)
 def _narrow(x):
     if (isinstance(x, np.ndarray) and x.dtype in (np.int32, np.int64)
             and x.size):
-        return x.astype(np.uint16)
+        # Range guard: a negative sentinel (e.g. ignore_label -100 in
+        # the ScanNetv2 configs) or any value >= 2^16 would silently
+        # wrap under uint16 and corrupt the ignore mask downstream.
+        # The min/max scan is host-cheap (~us at batch scale) relative
+        # to the MBs of transfer it saves.
+        lo, hi = int(x.min()), int(x.max())
+        if 0 <= lo and hi < 65536:
+            return x.astype(np.uint16)
     return x
 
 

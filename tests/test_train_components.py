@@ -134,6 +134,30 @@ def test_compress_roundtrip_and_gating():
     np.testing.assert_array_equal(np.asarray(wide["feats"]), batch["feats"])
 
 
+def test_compress_never_narrows_negative_or_wide_values():
+    """ScanNetv2-style ignore_label -100 (reference config) must survive
+    the narrowing path byte-exact: uint16 would wrap -100 -> 65436 and
+    break the CE/metrics ignore mask. Same for values >= 2^16."""
+    from stratified_transformer_tpu.data.compress import (
+        compress_batch, widen_batch)
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 20, 64).astype(np.int32)
+    labels[::5] = -100  # unannotated points
+    batch = {
+        "labels": labels,
+        "stem_nidx": rng.integers(0, 64, (64, 8)).astype(np.int32),
+        "wide_ids": np.array([0, 70000, 3], np.int64),
+    }
+    comp = compress_batch(batch, n_pad=64)
+    # negative / wide arrays ship untouched; pure indices still narrow
+    assert comp["labels"].dtype == np.int32
+    assert comp["wide_ids"].dtype == np.int64
+    assert comp["stem_nidx"].dtype == np.uint16
+    wide = widen_batch(comp)
+    np.testing.assert_array_equal(np.asarray(wide["labels"]), labels)
+    assert (np.asarray(wide["labels"]) == -100).sum() == (labels == -100).sum()
+
+
 def test_compressed_step_matches_uncompressed():
     """One jitted train step on a compressed batch must produce EXACTLY
     the stats (and params) of the uncompressed batch: widening restores

@@ -41,6 +41,13 @@ def build_model_config(cfg, n_devices):
         (n_pad // max(n_devices, 1) + tile - 1) // tile * tile, tile)
     fea_dim = int(cfg.get("fea_dim", 6))
     in_ch = fea_dim if cfg.get("concat_xyz", True) else fea_dim - 3
+    # Arch switch mirrors the reference driver (train_backup.py:99-129):
+    # `arch: swin3d_transformer` selects the fixed-window baseline
+    # (model/swin3d_transformer.py:364-453) = dense in-window pairs only
+    # with window-quantized RPE bins; explicit use_stratified/rpe_mode
+    # keys still win if set.
+    arch = str(cfg.get("arch", "stratified_transformer"))
+    swin = arch == "swin3d_transformer"
     return StratifiedConfig(
         num_classes=int(cfg.get("classes", 13)),
         in_channels=in_ch,
@@ -71,8 +78,9 @@ def build_model_config(cfg, n_devices):
         tile=tile,
         sparse_cap=int(cfg.get("sparse_cap", 48)),
         sampler=str(cfg.get("sampler", "grid")),
-        use_stratified=bool(cfg.get("use_stratified", True)),
-        rpe_mode=str(cfg.get("rpe_mode", "stratified")),
+        use_stratified=bool(cfg.get("use_stratified", not swin)),
+        rpe_mode=str(cfg.get(
+            "rpe_mode", "swin_window" if swin else "stratified")),
         bn_axis_name="data" if (
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
@@ -243,19 +251,40 @@ class BatchLoader:
         if self.mix3d_p > 0:
             n_workers = 1
         qs = [queue.Queue(maxsize=2) for _ in range(n_workers)]
+        stop = threading.Event()
 
         def worker(w):
             for bi in range(w, self.batches_per_epoch, n_workers):
                 ids = order[bi * self.scenes_per_batch:
                             (bi + 1) * self.scenes_per_batch]
-                qs[w].put(self._make_batch(ids))
+                try:
+                    item = self._make_batch(ids)
+                except BaseException as e:  # propagate, don't hang the consumer
+                    item = e
+                # bounded put that honors abandonment: if the consumer
+                # stopped iterating (early break / crash re-exec), exit
+                # instead of blocking on a full queue forever.
+                while not stop.is_set():
+                    try:
+                        qs[w].put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set() or isinstance(item, BaseException):
+                    return
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(n_workers)]
         for t in threads:
             t.start()
-        for bi in range(self.batches_per_epoch):
-            yield qs[bi % n_workers].get()
+        try:
+            for bi in range(self.batches_per_epoch):
+                item = qs[bi % n_workers].get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def _handle_step_crash(cfg, logger, save_path, epoch, it, err, attn_impl):
