@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stratified_transformer_tpu.models.layers import Mlp, dense, drop_path, trunc_init
+from stratified_transformer_tpu.models.layers import (
+    Mlp, dense, drop_path, layer_norm, trunc_init)
 from stratified_transformer_tpu.ops import attention as attn_ops
 from stratified_transformer_tpu.ops.plan import AttentionPlan
 
@@ -173,7 +174,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, feats, plan: AttentionPlan, *, training: bool):
         shortcut = feats
-        x = nn.LayerNorm(name="norm1")(feats)
+        x = layer_norm(name="norm1")(feats)
         x = WindowAttention(
             dim=self.dim, num_heads=self.num_heads,
             window_size=self.window_size, quant_size=self.quant_size,
@@ -195,7 +196,7 @@ class Block(nn.Module):
         y = Mlp(
             hidden=int(self.dim * self.mlp_ratio), out=self.dim,
             dtype=self.dtype, name="mlp"
-        )(nn.LayerNorm(name="norm2")(feats), training=training)
+        )(layer_norm(name="norm2")(feats), training=training)
         if training and self.drop_path_rate > 0:
             y = drop_path(
                 y, self.drop_path_rate, self.make_rng("droppath"), training)

@@ -22,6 +22,12 @@ from stratified_transformer_tpu.ops import neighbors, sampling
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+def layer_norm(name=None):
+    """LayerNorm with the reference's epsilon (torch nn.LayerNorm default
+    1e-5; flax defaults to 1e-6 — measurable drift in full-model parity)."""
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
 def dense(features, name=None, use_bias=True, dtype=None):
     """Linear with the reference init: trunc_normal(0.02) weight, zero bias
     (``model/stratified_transformer.py:489-502``). ``dtype`` sets the
@@ -146,7 +152,7 @@ class TransitionDown(nn.Module):
             n_xyz = xyz[idx]
             projected = dense(self.out_channels, use_bias=False,
                               name="linear")(
-                nn.LayerNorm(name="norm")(feats))
+                layer_norm(name="norm")(feats))
             gathered = neighbors.gather_group(
                 projected, jnp.asarray(precomp["knn_idx"], jnp.int32),
                 jnp.asarray(precomp["knn_mask"]), fill=-jnp.inf)
@@ -184,7 +190,7 @@ class TransitionDown(nn.Module):
         out_batch = sampling.offsets_to_batch(new_offsets, self.out_pad)
 
         projected = dense(self.out_channels, use_bias=False, name="linear")(
-            nn.LayerNorm(name="norm")(feats))
+            layer_norm(name="norm")(feats))
         if self.knn_method == "grid":
             nidx, _, nmask = neighbors.grid_knn(
                 n_xyz, out_batch, xyz, batch, valid, self.k,
@@ -219,14 +225,14 @@ class Upsample(nn.Module):
         n_coarse = xyz.shape[0]
         n_fine = skip_xyz.shape[0]
         lifted = dense(self.out_channels, name="linear2")(
-            nn.LayerNorm(name="norm2")(feats))
+            layer_norm(name="norm2")(feats))
         if precomp is not None:
             interp = neighbors.interpolate_from_idx(
                 skip_xyz, xyz, lifted,
                 jnp.asarray(precomp["idx"], jnp.int32),
                 jnp.asarray(precomp["mask"]))
             out = dense(self.out_channels, name="linear1")(
-                nn.LayerNorm(name="norm1")(skip_feats)) + interp
+                layer_norm(name="norm1")(skip_feats)) + interp
             return out, skip_xyz, skip_offsets
         interp = neighbors.three_nn_interpolate(
             skip_xyz,
@@ -240,5 +246,5 @@ class Upsample(nn.Module):
             grid_chunk=self.knn_chunk, origin=origin,
         )
         out = dense(self.out_channels, name="linear1")(
-            nn.LayerNorm(name="norm1")(skip_feats)) + interp
+            layer_norm(name="norm1")(skip_feats)) + interp
         return out, skip_xyz, skip_offsets

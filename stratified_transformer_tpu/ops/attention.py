@@ -34,7 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = float(-1e30)  # python float: no backend init at import (multi-host)
 
 
 def relative_position_index(rel, window_size, quant_size, num_bins):

@@ -23,7 +23,7 @@ from stratified_transformer_tpu.ops.pallas.fused_attention import (
     sparse_band_attention,
 )
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = float(-1e30)  # python float: no backend init at import (multi-host)
 
 
 def _sparse_half(q, k, v, xyz, valid, sparse_idx, sparse_mask,

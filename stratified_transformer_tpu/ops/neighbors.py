@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from stratified_transformer_tpu.ops import hashing
 from stratified_transformer_tpu.ops import windows as win
 
-BIG = jnp.float32(1e10)
+BIG = float(1e10)  # python float: no backend init at import (multi-host)
 
 
 def _pairwise_sqdist(q, r):

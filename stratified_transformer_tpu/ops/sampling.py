@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e10)
+BIG = float(1e10)  # python float: no backend init at import (multi-host)
 
 
 def offsets_to_batch(offsets, n_pad):

@@ -170,3 +170,59 @@ def test_head_grouped_matches_ungrouped(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-6,
             err_msg=name)
+
+
+@pytest.mark.parametrize("band_mult", [1, 3])
+def test_pallas_bwd_matches_jnp_vjp_wide_band(rng, band_mult):
+    """Pallas flash backward vs the exact jnp-VJP gradients with
+    band = band_mult * tile. band_mult=3 is the PRODUCTION stage-2 shape
+    (band 384 = 3 * tile 128, configs band_per_stage) and exercises the
+    multi-tile shifted-diagonal dk/dv re-composition
+    (fused_attention_bwd.py:390-403) that band=tile never touches.
+    Windows here hold ~55-70 points, so pair offsets in sort order span
+    past one tile and every diagonal part carries real gradient mass."""
+    n_pad, n_valid = 256, 230
+    tile, band = 32, 32 * band_mult
+    ws = 0.6
+    xyz = np.concatenate([
+        rng.uniform(0, 1.2, (n_valid, 2)),
+        rng.uniform(0, 0.6, (n_valid, 1))], 1).astype(np.float32)
+    xyz = np.concatenate(
+        [xyz, np.full((n_pad - n_valid, 3), 50.0, np.float32)])
+    batch = np.where(np.arange(n_pad) < n_valid, 0, 1).astype(np.int32)
+    valid = np.arange(n_pad) < n_valid
+    is_down = (rng.uniform(size=n_pad) < 0.3) & valid
+    plan = plan_mod.build_attention_plan(
+        jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), ws,
+        shifted=False, is_down=jnp.asarray(is_down), sparse_cap=16)
+    q = jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+    nbins = 2 * int((2 * ws + 1e-4) // QUANT)
+    tq, tk, tv = (
+        jnp.asarray((rng.normal(size=(nbins, H, D, 3)) * 0.05)
+                    .astype(np.float32)) for _ in range(3))
+    cot = jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+    kw = dict(window_size=ws, quant_size=QUANT, scale=SCALE, band=band,
+              tile=tile, w_chunk=32, s_band=64, interpret=True)
+
+    def run(bwd_impl):
+        def loss(q_, k_, v_, a, b, c):
+            out = stratified_attention_fused(
+                q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted, sparse_band=plan.sparse_band,
+                table_q=a, table_k=b, table_v=c, bwd_impl=bwd_impl, **kw)
+            return jnp.sum(out * cot), out
+        (_, out), grads = jax.value_and_grad(
+            loss, argnums=tuple(range(6)), has_aux=True)(
+                q, k, v, tq, tk, tv)
+        return out, grads
+
+    out_p, g_pallas = run("pallas")
+    out_j, g_jnp = run("jnp")
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_j))
+    for a, b, name in zip(g_pallas, g_jnp, "q k v tq tk tv".split()):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-4,
+            err_msg=f"grad {name} (band={band})")

@@ -84,6 +84,19 @@ def build_model_config(cfg, n_devices):
         bn_axis_name="data" if (
             n_devices > 1 and cfg.get("sync_bn", True)) else None,
         attn_impl=str(cfg.get("attn_impl", "reference")),
+        # r4 postmortem: the "attn_bwd jnp" discriminator run silently
+        # no-opped because this key was never plumbed — keep EVERY
+        # StratifiedConfig knob reachable from the config/CLI.
+        attn_bwd=str(cfg.get("attn_bwd", "pallas")),
+        s_band=int(cfg.get("s_band", 128)),
+        down_quota=str(cfg.get("down_quota", "scene")),
+        sigma=float(cfg.get("sigma", 1.0)),
+        mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+        knn_chunk=int(cfg.get("knn_chunk", 1024)),
+        neighbor_method=str(cfg.get("neighbor_method", "grid")),
+        neighbor_cap=int(cfg.get("neighbor_cap", 32)),
+        grid_knn_chunk=int(cfg.get("grid_knn_chunk", 4096)),
+        pallas_interpret=bool(cfg.get("pallas_interpret", False)),
         fused_stages=int(cfg.get("fused_stages", 2)),
         head_group=int(cfg.get("head_group", 0)),
         band_per_stage=(tuple(int(x) for x in cfg.get("band_per_stage"))
