@@ -403,6 +403,57 @@ def _install_stubs():
     sys.modules["skimage"] = sk
     sys.modules["skimage.transform"] = sk_tf
 
+    # --- SharedArray (import-only; the sa_create/attach shm cache is
+    # commented out in the reference loaders) -------------------------------
+    sa = types.ModuleType("SharedArray")
+    sys.modules["SharedArray"] = sa
+
+    # --- plyfile: minimal ASCII reader sufficient for the reference's
+    # prepare_data_inst.py (`PlyData().read(fn)`, `f.elements[0]` rows,
+    # `f.elements[0]['label']`) ---------------------------------------------
+    plyfile_mod = types.ModuleType("plyfile")
+
+    class _PlyElement:
+        def __init__(self, names, rows):
+            self._names = names
+            self._rows = rows
+
+        def __iter__(self):
+            return iter(self._rows)
+
+        def __getitem__(self, prop):
+            j = self._names.index(prop)
+            return np.asarray([r[j] for r in self._rows])
+
+    class PlyData:
+        def __init__(self):
+            self.elements = []
+
+        def read(self, path):
+            with open(path) as f:
+                assert f.readline().strip() == "ply"
+                n = 0
+                names = []
+                for line in f:
+                    t = line.strip().split()
+                    if t[0] == "element" and t[1] == "vertex":
+                        n = int(t[2])
+                    elif t[0] == "property":
+                        names.append(t[-1])
+                    elif t[0] == "end_header":
+                        break
+                rows = []
+                for _ in range(n):
+                    vals = f.readline().split()
+                    rows.append([float(v) if "." in v or "e" in v else
+                                 int(v) for v in vals])
+            out = PlyData()
+            out.elements = [_PlyElement(names, rows)]
+            return out
+
+    plyfile_mod.PlyData = PlyData
+    sys.modules["plyfile"] = plyfile_mod
+
     # py3.10+: collections.Sequence moved to collections.abc
     if not hasattr(collections, "Sequence"):
         collections.Sequence = collections.abc.Sequence
@@ -433,6 +484,10 @@ def _install_stubs():
 def load_ref(relpath, name=None):
     """Import a reference source file as a module (CPU, stubs installed)."""
     _install_stubs()
+    # re-ensure on every call: a test's monkeypatch.syspath teardown can
+    # remove the entry added by a previous test's _install_stubs
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
     name = name or "ref_" + relpath.replace("/", "_").replace(".py", "")
     if name in _loaded:
         return _loaded[name]

@@ -45,6 +45,9 @@ def main():
                          "matching the plateaued run's config)")
     ap.add_argument("--band", type=int, default=0)
     ap.add_argument("--grid-coords", action="store_true")
+    ap.add_argument("--no-sparse", action="store_true",
+                    help="build the plan without stratified sparse keys "
+                         "(band half only) - bisects band vs sparse bwd")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode on CPU at the SAME shapes "
                          "(discriminates logic bug vs Mosaic-native)")
@@ -93,7 +96,8 @@ def main():
         rng.normal(size=(nbins, h, d, 3)).astype(np.float32) * .02)
         for _ in range(3))
     cot = jnp.asarray(rng.normal(size=(npad, h, d)).astype(np.float32))
-    is_down = jnp.asarray(rng.uniform(size=npad) < 1 / 8) & valid
+    is_down = (None if args.no_sparse
+               else jnp.asarray(rng.uniform(size=npad) < 1 / 8) & valid)
     aux_pad = ((npad // 8 + 2 + 127) // 128) * 128
     plan = jax.jit(lambda: P.build_attention_plan(
         xyz, batch_ids, valid, ws, shifted=bool(args.shifted),
