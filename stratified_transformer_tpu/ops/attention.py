@@ -44,8 +44,15 @@ def relative_position_index(rel, window_size, quant_size, num_bins):
     1e-5, then ``floor((rel + 2*window - 1e-4) / quant)``; valid range is
     ``[0, 2*quant_grid_length)``.
     """
-    rel = jnp.round(rel.astype(jnp.float32) * 1e5) / 1e5
-    ridx = jnp.floor((rel + 2.0 * window_size - 1e-4) / quant_size)
+    # Division-free: fp32 divide is lowered DIFFERENTLY by Mosaic vs XLA
+    # on TPU (reciprocal-refinement sequences differ), flipping bins at
+    # exact quantization boundaries between the fused kernels and this
+    # path. Multiply/add are correctly rounded everywhere, so using the
+    # same reciprocal constants as ops/pallas/common.rel_bins_chunk makes
+    # every backend and kernel agree bit-exactly (tools/bin_math_probe.py).
+    rel = jnp.round(rel.astype(jnp.float32) * 1e5) * jnp.float32(1e-5)
+    ridx = jnp.floor((rel + jnp.float32(2.0 * window_size - 1e-4))
+                     * jnp.float32(1.0 / float(quant_size)))
     return jnp.clip(ridx, 0, num_bins - 1).astype(jnp.int32)
 
 

@@ -46,11 +46,21 @@ def rel_bins_chunk(
     if with_onehot:
         bins_t = jax.lax.broadcasted_iota(
             jnp.int32, (tile, num_bins, w_chunk), 1)
+    # Division-free bin math. TPU has no native fp32 divide; Mosaic and
+    # XLA lower it with DIFFERENT reciprocal-refinement sequences, so
+    # `(rel + c) / quant` flips bins at exact quantization boundaries
+    # between the fused kernels and the jnp path (measured: 76/65536 on a
+    # boundary-dense sweep, tools/bin_math_probe.py) — and real stage-2
+    # data (grid-pool representatives) lives ON those boundaries. fp32
+    # multiply/add are correctly rounded on every backend, so a shared
+    # reciprocal constant makes all paths bit-identical.
+    inv_1e5 = jnp.float32(1e-5)
+    inv_qs = jnp.float32(1.0 / float(quant_size))
     for a in range(3):
         rel_a = x_t[:, a:a + 1] - jnp.transpose(xc[:, a:a + 1], (1, 0))
-        rel_a = jnp.round(rel_a * 1e5) / 1e5
+        rel_a = jnp.round(rel_a * 1e5) * inv_1e5
         ridx_a = jnp.floor(
-            (rel_a + 2.0 * window_size - 1e-4) / quant_size)
+            (rel_a + jnp.float32(2.0 * window_size - 1e-4)) * inv_qs)
         ridx_a = jnp.clip(ridx_a, 0, num_bins_full - 1)
         ridx_a = jnp.clip(
             ridx_a - bin_lo, 0, num_bins - 1).astype(jnp.int32)

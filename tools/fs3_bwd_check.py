@@ -53,6 +53,9 @@ def main():
                          "(discriminates logic bug vs Mosaic-native)")
     ap.add_argument("--n", type=int, default=0,
                     help="override the stage's point count")
+    ap.add_argument("--save", default="",
+                    help="write fwd outputs + grads to <save>.npz for "
+                         "offline native-vs-interpret comparison")
     args = ap.parse_args()
 
     if args.interpret:
@@ -169,6 +172,16 @@ def main():
             verdict_bad = True
     print("VERDICT:", "BACKWARD DIVERGES" if verdict_bad else
           "backward within rounding", flush=True)
+
+    if args.save:
+        np.savez(args.save,
+                 out_pallas=np.asarray(outp),
+                 out_jnp_ref=np.asarray(out_ref),
+                 **{f"g{nm}_pallas": np.asarray(x)
+                    for nm, x in zip("q k v tq tk tv".split(), gp)},
+                 **{f"g{nm}_jnp": np.asarray(x)
+                    for nm, x in zip("q k v tq tk tv".split(), gj)})
+        print(f"saved {args.save}.npz", flush=True)
 
 
 if __name__ == "__main__":
