@@ -168,9 +168,20 @@ def evaluate_scene_sharded(
     transforms: Optional[Sequence] = None,
     rng=None,
     stats: Optional[dict] = None,
+    apply_probs: Optional[Callable] = None,
+    core_pad: int = 0,
+    halo_cap: int = 0,
 ):
     """Sharded variant of `evaluate_scene`: spatial blocks + halo exchange
     instead of the serial sliding-sphere crop loop.
+
+    When ``apply_probs`` (a per-device model closure, see
+    `parallel.halo.make_collective_predict`) is given together with
+    ``core_pad``/``halo_cap``, halos move ON-DEVICE over ``ppermute``
+    collectives (`sharded_scene_probs_collective`) — the host ships only
+    core slabs. Chunks whose receptive halo exceeds the adjacent slab
+    width (tiny chunks) fall back to host replication via
+    ``predict_blocks``.
 
     The reference covers over-sized chunks with sequential sphere crops
     (``test_backup.py:238-251``); here each voxel-vote chunk is split into
@@ -187,6 +198,7 @@ def evaluate_scene_sharded(
     """
     from stratified_transformer_tpu.parallel import halo as halo_mod
 
+    _cache: dict = {}      # reuse the jitted collective predictor
     rng = rng or np.random.default_rng(0)
     if transforms is None:
         transforms = tta_transforms(data_name)
@@ -208,17 +220,42 @@ def evaluate_scene_sharded(
             if data_name == "s3dis":
                 fp = fp / 255.0
             bstats: dict = {}
-            probs = halo_mod.sharded_scene_probs(
-                predict_blocks, cp, fp, num_classes, mesh=mesh,
-                n_pad=block_pad, concat_xyz=concat_xyz, halo=halo_width,
-                stats=bstats)
+            probs = None
+            if apply_probs is not None:
+                if "collective_predict" not in _cache:
+                    _cache["collective_predict"] = (
+                        halo_mod.make_collective_predict(
+                            apply_probs, mesh, core_pad, halo_cap))
+                try:
+                    probs = halo_mod.sharded_scene_probs_collective(
+                        apply_probs, cp, fp, num_classes, mesh=mesh,
+                        core_pad=core_pad, halo_cap=halo_cap,
+                        concat_xyz=concat_xyz, halo=halo_width,
+                        stats=bstats,
+                        predict=_cache["collective_predict"])
+                    if stats is not None:
+                        stats["collective_chunks"] = (
+                            stats.get("collective_chunks", 0) + 1)
+                        stats["halo_cap_dropped"] = (
+                            stats.get("halo_cap_dropped", 0)
+                            + bstats.get("halo_cap_dropped", 0))
+                except ValueError:
+                    probs = None       # halo > slab: host replication
+                    if stats is not None:
+                        stats["collective_fallback_chunks"] = (
+                            stats.get("collective_fallback_chunks", 0) + 1)
+            if probs is None:
+                probs = halo_mod.sharded_scene_probs(
+                    predict_blocks, cp, fp, num_classes, mesh=mesh,
+                    n_pad=block_pad, concat_xyz=concat_xyz,
+                    halo=halo_width, stats=bstats)
             if stats is not None:
                 stats["truncated_halo_points"] = (
                     stats.get("truncated_halo_points", 0)
-                    + bstats["truncated_halo_points"])
+                    + bstats.get("truncated_halo_points", 0))
                 stats["blocks_evaluated"] = (
                     stats.get("blocks_evaluated", 0)
-                    + len(bstats["block_points"]))
+                    + len(bstats.get("block_points", [])))
             pred[idx_part] += probs
 
         pred = pred / (pred.sum(-1, keepdims=True) + 1e-8)

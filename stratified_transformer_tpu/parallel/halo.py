@@ -9,11 +9,18 @@ receptive field, so each device's forward pass is exact for its core points:
   halo >= top-stage large window (2 * window * 2^(L-1)) + kNN pooling /
   interpolation reach. Default = 2.5x the top-stage window size.
 
-Slabs are batched on a leading device axis and evaluated under a
-data-parallel mesh (same layout as ``parallel.dp``); only core-point logits
-are scattered back. The host-side partitioner replicates halo points (a
-cross-device ``ppermute`` exchange is the on-device upgrade path once block
-partitioning itself moves on-device).
+Two data paths share the partition/receptive-field math:
+
+* `sharded_scene_probs` — host-side halo REPLICATION: every block ships
+  core + halo points from the host (one upload per block).
+* `sharded_scene_probs_collective` — ON-DEVICE halo EXCHANGE: each device
+  holds only its core slab; boundary points move between neighbouring
+  devices over ``jax.lax.ppermute`` (ICI) inside a ``shard_map`` before
+  the forward (`make_collective_predict`). This is the BASELINE.json
+  north star ("spatial block partitioning with halo point exchange over
+  collectives") replacing the reference's serial chunk loop
+  (``test_backup.py:238-285``); host->device traffic drops from
+  core+halo to core-only and the exchange rides the interconnect.
 """
 
 from __future__ import annotations
@@ -91,6 +98,212 @@ def partition_scene(coord, n_blocks, halo, min_points_per_block=1):
         blocks.append({"idx": idx, "core": core[idx],
                        "halo_depth": depth.astype(np.float32)})
     return blocks
+
+
+def make_collective_predict(apply_probs, mesh, core_pad, halo_cap):
+    """Build the jitted sharded predictor with ON-DEVICE halo exchange.
+
+    Args:
+      apply_probs: per-device model closure ``(feats [B, C], xyz [B, 3],
+        offsets [1] int32) -> probs [B, num_classes]`` where
+        ``B = core_pad + 2 * halo_cap`` (call the model with
+        ``anchor=zeros(3)``; coordinates arrive global-min-subtracted).
+      mesh: 1-D device mesh; slab ``b`` lives on mesh position ``b``.
+      core_pad: static per-device core capacity.
+      halo_cap: static per-side halo buffer capacity.
+
+    Returns ``predict(feats [D, core_pad, C], xyz [D, core_pad, 3],
+    n_core [D, 1], bounds [D, 2], hw [D, 1], ax [D, 3]) ->
+    (probs [D, B, num_classes], sent_drop [D, 2])`` where ``sent_drop``
+    counts edge points that exceeded ``halo_cap`` per side (non-zero =
+    halo coverage lost; surface it, never silently cap).
+
+    Exchange topology: slabs are ordered along one axis, so halos come
+    from the two ADJACENT devices. Each device compacts its own boundary
+    bands (closest-to-boundary first) into fixed ``[halo_cap]`` buffers
+    and ``ppermute``s them one step left/right; a validity column rides
+    along (boundary devices receive zeros => all-invalid). Received
+    halo rows are scattered after the core prefix so the combined block
+    keeps the flat ``[N, C] + offsets`` contract.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis_name = mesh.axis_names[0]
+    nd = int(mesh.devices.size)
+    b_pad = core_pad + 2 * halo_cap
+
+    def shard_fn(feats, xyz, gidx, n_core, bounds, hw, ax):
+        feats = feats[0]
+        xyz = xyz[0]
+        gidx = gidx[0]
+        nc = n_core[0, 0]
+        lo, hi = bounds[0, 0], bounds[0, 1]
+        hwv = hw[0, 0]
+        x = jnp.sum(xyz * ax[0][None, :], axis=1)
+        valid = jnp.arange(core_pad, dtype=jnp.int32) < nc
+
+        def edge(score):
+            s = jnp.where(valid, score, jnp.inf)
+            in_band = jnp.isfinite(s)
+            order = jnp.argsort(s)[:halo_cap]
+            ok = jnp.take(s, order) < jnp.inf
+            dropped = jnp.maximum(
+                jnp.sum(in_band.astype(jnp.int32)) - halo_cap, 0)
+            return xyz[order], feats[order], gidx[order], ok, dropped
+
+        # my LEFT boundary band (goes to device d-1 as its right halo)
+        sxl, sfl, sgl, okl, dl = edge(
+            jnp.where(x < lo + hwv, x - lo, jnp.inf))
+        # my RIGHT boundary band (goes to device d+1 as its left halo)
+        sxr, sfr, sgr, okr, dr = edge(
+            jnp.where(x > hi - hwv, hi - x, jnp.inf))
+
+        perm_dn = [(i, i - 1) for i in range(1, nd)]
+        perm_up = [(i, i + 1) for i in range(nd - 1)]
+        pp = jax.lax.ppermute
+        rx_r, rf_r, rg_r, rok_r = (pp(t, axis_name, perm_dn)
+                                   for t in (sxl, sfl, sgl, okl))
+        rx_l, rf_l, rg_l, rok_l = (pp(t, axis_name, perm_up)
+                                   for t in (sxr, sfr, sgr, okr))
+
+        # ok flags are a PREFIX (senders sort invalid scores to the end),
+        # so ranks are positional; received-from-nowhere rows are zeros
+        # (ppermute semantics) => ok False.
+        n_l = jnp.sum(rok_l.astype(jnp.int32))
+        n_r = jnp.sum(rok_r.astype(jnp.int32))
+        ar = jnp.arange(halo_cap, dtype=jnp.int32)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        xyz_b = jnp.zeros((b_pad, 3), xyz.dtype).at[:core_pad].set(xyz)
+        feats_b = jnp.zeros((b_pad, feats.shape[1]),
+                            feats.dtype).at[:core_pad].set(feats)
+        gidx_b = jnp.full((b_pad,), big, jnp.int32).at[:core_pad].set(
+            jnp.where(valid, gidx, big))
+        pos_l = jnp.where(rok_l, nc + ar, b_pad)
+        xyz_b = xyz_b.at[pos_l].set(rx_l, mode="drop")
+        feats_b = feats_b.at[pos_l].set(rf_l, mode="drop")
+        gidx_b = gidx_b.at[pos_l].set(rg_l, mode="drop")
+        pos_r = jnp.where(rok_r, nc + n_l + ar, b_pad)
+        xyz_b = xyz_b.at[pos_r].set(rx_r, mode="drop")
+        feats_b = feats_b.at[pos_r].set(rf_r, mode="drop")
+        gidx_b = gidx_b.at[pos_r].set(rg_r, mode="drop")
+        offsets = (nc + n_l + n_r)[None].astype(jnp.int32)
+
+        # Present points in GLOBAL index order: downstream tie-breaks
+        # (grid-pool representative selection) depend on point order, and
+        # block-vs-whole-scene exactness requires the block to see its
+        # points in the same relative order as the full forward (the host
+        # path keeps this by construction).
+        order = jnp.argsort(gidx_b, stable=True).astype(jnp.int32)
+        probs_sorted = apply_probs(
+            feats_b[order], xyz_b[order], offsets)
+        # back to assembly order: row [0, nc) = this device's core slots
+        probs = jnp.zeros_like(probs_sorted).at[order].set(probs_sorted)
+        return probs[None], jnp.stack([dl, dr])[None]
+
+    shardy = P(axis_name)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(shardy,) * 7,
+        out_specs=(shardy, shardy))
+    jitted = jax.jit(mapped)
+    sharding = NamedSharding(mesh, shardy)
+
+    def predict(feats, xyz, gidx, n_core, bounds, hw, ax):
+        put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+        return jitted(put(feats), put(xyz), put(gidx), put(n_core),
+                      put(bounds), put(hw), put(ax))
+
+    return predict
+
+
+def sharded_scene_probs_collective(
+    apply_probs,
+    coord,
+    feat,
+    num_classes,
+    *,
+    mesh,
+    core_pad,
+    halo_cap,
+    concat_xyz=True,
+    halo=0.5,
+    stats=None,
+    predict=None,
+):
+    """`sharded_scene_probs` with the halo moved over device collectives.
+
+    The host ships each device ONLY its core slab; boundary points travel
+    between neighbouring devices via ``ppermute`` (see
+    `make_collective_predict`). Requires the halo width to fit within the
+    adjacent slab (one-hop exchange) — asserted against the measured slab
+    widths.
+
+    ``predict``: optional pre-built `make_collective_predict` result (the
+    jit is shape-keyed; reuse it across scenes of one eval run).
+    """
+    coord = np.asarray(coord, np.float32)
+    origin = coord.min(0)
+    coord0 = coord - origin
+    d = int(mesh.devices.size)
+    blocks = partition_scene(coord0, d, halo=0.0)
+
+    extent = coord0.max(0) - coord0.min(0)
+    axis = int(np.argmax(extent[:2])) if coord0.shape[1] >= 2 else 0
+    x = coord0[:, axis]
+    qs = np.quantile(x, np.linspace(0, 1, d + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    # one-hop reach: the halo band must not span past the adjacent slab
+    widths = np.diff(np.quantile(x, np.linspace(0, 1, d + 1)))[1:-1]
+    if len(widths) and halo > widths.min():
+        raise ValueError(
+            f"halo {halo:.3f} exceeds the narrowest interior slab "
+            f"({widths.min():.3f}); one-hop ppermute exchange cannot "
+            "cover it - use sharded_scene_probs (host replication)")
+
+    c_in = feat.shape[1] + (3 if concat_xyz else 0)
+    feats_d = np.zeros((d, core_pad, c_in), np.float32)
+    xyz_d = np.zeros((d, core_pad, 3), np.float32)
+    gidx_d = np.zeros((d, core_pad), np.int32)
+    n_core = np.zeros((d, 1), np.int32)
+    bounds = np.zeros((d, 2), np.float32)
+    kept = []
+    for b, blk in enumerate(blocks):
+        idx = blk["idx"]
+        assert len(idx) <= core_pad, (
+            f"core slab {b} ({len(idx)} pts) exceeds core_pad {core_pad}")
+        c = coord0[idx]
+        f = np.asarray(feat[idx], np.float32)
+        fcat = np.concatenate([f, c], 1) if concat_xyz else f
+        xyz_d[b, :len(idx)] = c
+        feats_d[b, :len(idx)] = fcat
+        gidx_d[b, :len(idx)] = idx
+        n_core[b, 0] = len(idx)
+        lo = qs[b] if np.isfinite(qs[b]) else -1e30
+        hi = qs[b + 1] if np.isfinite(qs[b + 1]) else 1e30
+        bounds[b] = (lo, hi)
+        kept.append(idx)
+
+    hw = np.full((d, 1), halo, np.float32)
+    ax = np.zeros((d, 3), np.float32)
+    ax[:, axis] = 1.0
+
+    if predict is None:
+        predict = make_collective_predict(
+            apply_probs, mesh, core_pad, halo_cap)
+    probs_d, sent_drop = predict(
+        feats_d, xyz_d, gidx_d, n_core, bounds, hw, ax)
+    probs_d = np.asarray(probs_d)
+    sent_drop = np.asarray(sent_drop)
+    if stats is not None:
+        stats["halo_cap_dropped"] = int(sent_drop.sum())
+        stats["block_points"] = [int(n) for n in n_core[:, 0]]
+
+    out = np.zeros((len(coord), num_classes), np.float64)
+    for b, idx in enumerate(kept):
+        out[idx] = probs_d[b, :len(idx)]
+    return out
 
 
 def sharded_scene_probs(

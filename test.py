@@ -126,6 +126,29 @@ def main():
                 return jax.nn.softmax(logits, -1)
             return jax.vmap(one)(feats_b, xyz_b, offsets_b)
 
+        # On-device halo exchange (ppermute collectives): the host ships
+        # only core slabs; boundary points move over ICI
+        # (parallel/halo.make_collective_predict). Default on; chunks
+        # whose halo exceeds a slab width fall back to host replication.
+        collective = bool(cfg.get("sharded_collective", True))
+        apply_probs_coll = None
+        core_pad = halo_cap = 0
+        if collective:
+            core_pad = int(cfg.get("sharded_core_points",
+                                   max(block_pad // max(ndev, 1), tile)))
+            core_pad = (core_pad + tile - 1) // tile * tile
+            halo_cap = int(cfg.get("sharded_halo_points", core_pad // 2))
+            halo_cap = max((halo_cap + tile - 1) // tile * tile, tile)
+            b_pad = core_pad + 2 * halo_cap
+            mcfg_c = dataclasses.replace(mcfg_b, n_pad=b_pad)
+            model_c = Stratified(mcfg_c)
+
+            def apply_probs_coll(f_, x_, o_):
+                logits, _ = model_c.apply(
+                    variables, f_, x_, o_.astype(jnp.int32),
+                    training=False, anchor=jnp.zeros((3,), jnp.float32))
+                return jax.nn.softmax(logits, -1)
+
     # ---- scene source ----
     scenes = []
     if data_name == "s3dis":
@@ -168,7 +191,8 @@ def main():
                 data_name="s3dis" if feat_is_rgb255 else data_name,
                 voxel_size=cfg.get("voxel_size", 0.04),
                 concat_xyz=bool(cfg.get("concat_xyz", True)),
-                stats=halo_stats)
+                stats=halo_stats, apply_probs=apply_probs_coll,
+                core_pad=core_pad, halo_cap=halo_cap)
         else:
             pred, _ = voting.evaluate_scene(
                 predict_probs, coord, feat, ncls,
@@ -194,7 +218,11 @@ def main():
         logger.info(
             f"sharded eval stats: {halo_stats.get('blocks_evaluated', 0)} "
             f"blocks, {halo_stats.get('truncated_halo_points', 0)} halo "
-            "points truncated (non-zero => raise sharded_block_points)")
+            "points truncated (non-zero => raise sharded_block_points); "
+            f"collective chunks {halo_stats.get('collective_chunks', 0)} "
+            f"(host-replication fallbacks "
+            f"{halo_stats.get('collective_fallback_chunks', 0)}, cap-"
+            f"dropped {halo_stats.get('halo_cap_dropped', 0)})")
     m = M.iou_from_counts(inter_sum, union_sum, target_sum)
     for c in range(ncls):
         logger.info(

@@ -188,3 +188,58 @@ def test_sharded_real_model_matches_full_forward(rng):
     err = np.abs(probs_bad - np.asarray(full_probs)).max()
     assert err > 100 * max(err_exact, 1e-9) and err > 1e-5, \
         f"sub-window-halo control unexpectedly exact (max err {err})"
+
+
+def test_collective_halo_exchange_matches_full_forward(rng):
+    """ON-DEVICE halo exchange (ppermute inside shard_map): the real
+    Stratified net sharded across 4 core slabs — with boundary points
+    moved between devices over collectives, NOT host-replicated — must
+    reproduce the whole-scene forward on every point, and must match the
+    host-replication path bit-for-bit where both are exact."""
+    import dataclasses
+    import jax.numpy as jnp
+    from stratified_transformer_tpu.models.stratified import Stratified
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg, coord, feat = _real_model_setup(rng)
+    n = len(coord)
+    n_pad_full = ((n + 127) // 128) * 128
+    model, variables, full_probs = _apply_full(cfg, coord, feat, n_pad_full)
+
+    mesh = make_mesh(4)
+    core_pad = ((n // 4 + 255) // 128) * 128
+    halo_cap = ((n // 8 + 127) // 128) * 128
+    b_pad = core_pad + 2 * halo_cap
+    mcfg_b = dataclasses.replace(cfg, n_pad=b_pad, num_scenes=1)
+    model_b = Stratified(mcfg_b)
+
+    def apply_probs(feats_, xyz_, off_):
+        logits, _ = model_b.apply(
+            variables, feats_, xyz_, off_.astype(jnp.int32),
+            training=False, anchor=jnp.zeros((3,), jnp.float32))
+        return jax.nn.softmax(logits, -1)
+
+    hw = halo.receptive_halo(cfg)
+    stats = {}
+    probs = halo.sharded_scene_probs_collective(
+        apply_probs, coord, feat, cfg.num_classes, mesh=mesh,
+        core_pad=core_pad, halo_cap=halo_cap, concat_xyz=True,
+        halo=hw, stats=stats)
+    assert stats["halo_cap_dropped"] == 0, stats
+    err = np.abs(probs - np.asarray(full_probs)).max()
+    assert err <= 5e-7, f"collective sharded != full (max err {err})"
+
+    # sub-window halo control: the exchange path must also BITE
+    probs_bad = halo.sharded_scene_probs_collective(
+        apply_probs, coord, feat, cfg.num_classes, mesh=mesh,
+        core_pad=core_pad, halo_cap=halo_cap, concat_xyz=True, halo=0.05)
+    err_bad = np.abs(probs_bad - np.asarray(full_probs)).max()
+    assert err_bad > 100 * max(err, 1e-9) and err_bad > 1e-5, (
+        f"sub-window-halo control unexpectedly exact (max err {err_bad})")
+
+    # halo wider than a slab is refused, not silently wrong
+    with pytest.raises(ValueError):
+        halo.sharded_scene_probs_collective(
+            apply_probs, coord, feat, cfg.num_classes, mesh=mesh,
+            core_pad=core_pad, halo_cap=halo_cap, halo=1e9)
