@@ -67,6 +67,9 @@ def emit(extra=None, hard_exit=None):
             with open(base_path) as f:
                 out["vs_baseline"] = round(
                     out["value"] / json.load(f)["value"], 3)
+            # the reference publishes no throughput numbers (BASELINE.md);
+            # this ratio is against THIS framework's round-1 first record
+            out["vs_baseline_note"] = "self-baseline round-1 (6.0k pts/s)"
         print(json.dumps(out), flush=True)
     if hard_exit is not None:
         os._exit(hard_exit)
@@ -243,18 +246,34 @@ def _measure_e2e(impl: str, n_pad: int, iters: int):
                "mix3d": 0.0}
     loader = train_mod.BatchLoader(ds, cfg, ldr_cfg, 1, shuffle=True,
                                    seed=123)
+    # e2e leg runs >= 50 iters (VERDICT r4: 8 was too few for a headline
+    # wall number given this metric's 1.4s->0.69s history); the loader
+    # yields 8 batches/epoch, so chain epochs until the target.
+    e2e_iters = max(iters, int(os.environ.get("ST_BENCH_E2E_ITERS", 50)))
+    overlap = bool(int(os.environ.get("ST_BENCH_UPLOAD_OVERLAP", "0")))
     wall = points = n_done = 0
     for rep in range(2):  # rep 0 warms the loader+shapes; rep 1 is timed
+        target = min(8, e2e_iters) if rep == 0 else e2e_iters
         itr = iter(loader)
         cur = next(itr, None)
         cur_dev = jax.device_put(cur[0]) if cur is not None else None
         t0 = time.perf_counter()
         st, n_pts, n_it = state, 0, 0
-        while cur is not None and n_it < iters:
+        while cur is not None and n_it < target:
             st, stats = step(st, cur_dev, rng)
             cur = next(itr, None)
+            if cur is None:                     # chain the next epoch
+                itr = iter(loader)
+                cur = next(itr, None)
+            if overlap and cur is not None:
+                # upload BEFORE blocking: overlaps the tunnel transfer
+                # with device compute (opt-in; r4 reproduced the axon
+                # INVALID_ARGUMENT fault class in this ordering)
+                cur_dev = jax.device_put(cur[0])
             n_pts += int(stats["points"])  # blocks on this step
-            cur_dev = jax.device_put(cur[0]) if cur is not None else None
+            if not overlap:
+                cur_dev = jax.device_put(cur[0]) if cur is not None \
+                    else None
             n_it += 1
         jax.block_until_ready(stats["loss"])
         if rep == 1:
