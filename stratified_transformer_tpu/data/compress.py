@@ -36,39 +36,55 @@ import numpy as np
 # (np.diff / cumsum in eval tools) where silent uint16 wraparound on a
 # subtraction would be a footgun for a few dozen saved bytes.
 _SKIP = ("offsets",)
+# keys whose values are point/level indices: bounded by the (static)
+# padded point count by construction (collate/pyramid build them
+# gather-safe), so narrowing is decided by n_pad alone.
+_INDEX_KEYS = ("stem_nidx", "idx", "knn_idx")
 
 
 def _narrow(x):
     if (isinstance(x, np.ndarray) and x.dtype in (np.int32, np.int64)
             and x.size):
-        # Range guard: a negative sentinel (e.g. ignore_label -100 in
-        # the ScanNetv2 configs) or any value >= 2^16 would silently
-        # wrap under uint16 and corrupt the ignore mask downstream.
-        # The min/max scan is host-cheap (~us at batch scale) relative
-        # to the MBs of transfer it saves.
-        lo, hi = int(x.min()), int(x.max())
-        if 0 <= lo and hi < 65536:
-            return x.astype(np.uint16)
+        return x.astype(np.uint16)
     return x
 
 
-def compress_batch(batch, n_pad):
+def compress_batch(batch, n_pad, ignore_label=255):
     """Narrow a host batch dict's index/label arrays to uint16.
 
     No-op (returns ``batch`` unchanged) when any point count can reach
     65536.  Bool masks and float arrays pass through; nested pytrees
     (the host pyramid) are walked recursively.
+
+    The narrowing decision is STATIC per key (index keys are bounded by
+    the padded point count by construction; ``labels`` narrows only when
+    the config's ``ignore_label`` fits uint16) — a per-batch value scan
+    would make the shipped dtype data-dependent and retrace the jitted
+    step whenever e.g. a fully-annotated ScanNet crop happens to contain
+    no -100 sentinel (jit signatures must not flap batch-to-batch).
     """
     if n_pad >= 65536:
         return batch
+    labels_ok = 0 <= int(ignore_label) < 65536
 
     def walk(obj):
         if isinstance(obj, dict):
-            return {k: (obj[k] if k in _SKIP else walk(obj[k]))
-                    for k in obj}
+            out = {}
+            for k in obj:
+                if k in _SKIP:
+                    out[k] = obj[k]
+                elif k == "labels":
+                    out[k] = _narrow(obj[k]) if labels_ok else obj[k]
+                elif k in _INDEX_KEYS:
+                    out[k] = _narrow(obj[k])
+                elif isinstance(obj[k], (dict, tuple, list)):
+                    out[k] = walk(obj[k])
+                else:
+                    out[k] = obj[k]
+            return out
         if isinstance(obj, (tuple, list)):
             return type(obj)(walk(v) for v in obj)
-        return _narrow(obj)
+        return obj
 
     return walk(batch)
 

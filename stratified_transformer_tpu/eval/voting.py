@@ -171,6 +171,7 @@ def evaluate_scene_sharded(
     apply_probs: Optional[Callable] = None,
     core_pad: int = 0,
     halo_cap: int = 0,
+    collective_predict: Optional[Callable] = None,
 ):
     """Sharded variant of `evaluate_scene`: spatial blocks + halo exchange
     instead of the serial sliding-sphere crop loop.
@@ -198,7 +199,11 @@ def evaluate_scene_sharded(
     """
     from stratified_transformer_tpu.parallel import halo as halo_mod
 
-    _cache: dict = {}      # reuse the jitted collective predictor
+    # the jitted collective predictor is shape-keyed: build once per
+    # EVAL RUN (callers pass collective_predict) or once per scene here
+    _cache: dict = {}
+    if collective_predict is not None:
+        _cache["collective_predict"] = collective_predict
     rng = rng or np.random.default_rng(0)
     if transforms is None:
         transforms = tta_transforms(data_name)
@@ -239,6 +244,10 @@ def evaluate_scene_sharded(
                         stats["halo_cap_dropped"] = (
                             stats.get("halo_cap_dropped", 0)
                             + bstats.get("halo_cap_dropped", 0))
+                        for m in ("ppermute", "allgather"):
+                            k = f"collective_{m}_scenes"
+                            if bstats.get(k):
+                                stats[k] = stats.get(k, 0) + bstats[k]
                 except ValueError:
                     probs = None       # halo > slab: host replication
                     if stats is not None:

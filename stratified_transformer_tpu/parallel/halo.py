@@ -65,6 +65,21 @@ def receptive_halo(cfg) -> float:
     return r
 
 
+def slab_edges(coord, n_blocks):
+    """Slab axis + equal-point-count quantile edges for a scene.
+
+    ONE definition shared by the partitioner and the collective-exchange
+    wrapper so halo bands are always selected against the same
+    boundaries the blocks were assigned with.
+    """
+    coord = np.asarray(coord)
+    extent = coord.max(0) - coord.min(0)
+    axis = int(np.argmax(extent[:2])) if coord.shape[1] >= 2 else 0
+    qs = np.quantile(coord[:, axis], np.linspace(0, 1, n_blocks + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    return axis, qs
+
+
 def partition_scene(coord, n_blocks, halo, min_points_per_block=1):
     """Split a scene into slabs of equal point count along the longest
     horizontal axis, each with halo replication.
@@ -73,12 +88,8 @@ def partition_scene(coord, n_blocks, halo, min_points_per_block=1):
     halo), core: bool mask over idx}.
     """
     coord = np.asarray(coord)
-    extent = coord.max(0) - coord.min(0)
-    axis = int(np.argmax(extent[:2])) if coord.shape[1] >= 2 else 0
+    axis, qs = slab_edges(coord, n_blocks)
     x = coord[:, axis]
-    # equal-count slab edges
-    qs = np.quantile(x, np.linspace(0, 1, n_blocks + 1))
-    qs[0], qs[-1] = -np.inf, np.inf
     blocks = []
     for b in range(n_blocks):
         lo, hi = qs[b], qs[b + 1]
@@ -118,13 +129,22 @@ def make_collective_predict(apply_probs, mesh, core_pad, halo_cap):
     counts edge points that exceeded ``halo_cap`` per side (non-zero =
     halo coverage lost; surface it, never silently cap).
 
-    Exchange topology: slabs are ordered along one axis, so halos come
-    from the two ADJACENT devices. Each device compacts its own boundary
-    bands (closest-to-boundary first) into fixed ``[halo_cap]`` buffers
-    and ``ppermute``s them one step left/right; a validity column rides
-    along (boundary devices receive zeros => all-invalid). Received
-    halo rows are scattered after the core prefix so the combined block
-    keeps the flat ``[N, C] + offsets`` contract.
+    Exchange topologies (the returned ``predict`` takes ``mode=``):
+
+    * ``"ppermute"`` — halos come from the two ADJACENT devices (valid
+      when the halo width fits within each interior slab). Each device
+      compacts its own boundary bands (closest-to-boundary first) into
+      fixed ``[halo_cap]`` buffers and ``ppermute``s them one step
+      left/right; a validity column rides along (boundary devices
+      receive zeros => all-invalid).
+    * ``"allgather"`` — the general case (production receptive halos
+      usually SPAN several slabs of a single room): every device
+      ``all_gather``s the core slabs over ICI and selects its own halo
+      points locally (closest-to-slab first, capacity ``2 * halo_cap``,
+      overflow counted). More ICI traffic, no topology restriction.
+
+    Received/selected halo rows are scattered after the core prefix so
+    the combined block keeps the flat ``[N, C] + offsets`` contract.
     """
     import jax
     import jax.numpy as jnp
@@ -202,18 +222,71 @@ def make_collective_predict(apply_probs, mesh, core_pad, halo_cap):
         probs = jnp.zeros_like(probs_sorted).at[order].set(probs_sorted)
         return probs[None], jnp.stack([dl, dr])[None]
 
-    shardy = P(axis_name)
-    mapped = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(shardy,) * 7,
-        out_specs=(shardy, shardy))
-    jitted = jax.jit(mapped)
-    sharding = NamedSharding(mesh, shardy)
+    def shard_fn_ag(feats, xyz, gidx, n_core, bounds, hw, ax):
+        feats = feats[0]
+        xyz = xyz[0]
+        gidx = gidx[0]
+        nc = n_core[0, 0]
+        lo, hi = bounds[0, 0], bounds[0, 1]
+        hwv = hw[0, 0]
+        valid = jnp.arange(core_pad, dtype=jnp.int32) < nc
 
-    def predict(feats, xyz, gidx, n_core, bounds, hw, ax):
+        gx = jax.lax.all_gather(xyz, axis_name)        # [D, core_pad, 3]
+        gf = jax.lax.all_gather(feats, axis_name)
+        gg = jax.lax.all_gather(gidx, axis_name)
+        gv = jax.lax.all_gather(valid, axis_name)
+        me = jax.lax.axis_index(axis_name)
+        dev_row = jax.lax.broadcasted_iota(jnp.int32, (nd, core_pad), 0)
+        xval = jnp.sum(gx * ax[0][None, None, :], axis=-1)
+        depth = jnp.maximum(jnp.maximum(lo - xval, xval - hi), 0.0)
+        # other devices' points within the halo band of MY slab (depth 0
+        # = exactly on my boundary, still halo — exclude by device id,
+        # not by depth, so boundary points survive)
+        cand = gv & (dev_row != me) & (depth <= hwv)
+        k2 = 2 * halo_cap
+        score = jnp.where(cand, depth, jnp.inf).reshape(-1)
+        order = jnp.argsort(score)[:k2]
+        ok = jnp.take(score, order) < jnp.inf
+        dropped = jnp.maximum(
+            jnp.sum(cand.astype(jnp.int32)) - k2, 0)
+        hx = gx.reshape(-1, 3)[order]
+        hf = gf.reshape(-1, feats.shape[1])[order]
+        hg = gg.reshape(-1)[order]
+
+        n_h = jnp.sum(ok.astype(jnp.int32))
+        ar = jnp.arange(k2, dtype=jnp.int32)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        xyz_b = jnp.zeros((b_pad, 3), xyz.dtype).at[:core_pad].set(xyz)
+        feats_b = jnp.zeros((b_pad, feats.shape[1]),
+                            feats.dtype).at[:core_pad].set(feats)
+        gidx_b = jnp.full((b_pad,), big, jnp.int32).at[:core_pad].set(
+            jnp.where(valid, gidx, big))
+        pos = jnp.where(ok, nc + ar, b_pad)
+        xyz_b = xyz_b.at[pos].set(hx, mode="drop")
+        feats_b = feats_b.at[pos].set(hf, mode="drop")
+        gidx_b = gidx_b.at[pos].set(hg, mode="drop")
+        offsets = (nc + n_h)[None].astype(jnp.int32)
+
+        order_g = jnp.argsort(gidx_b, stable=True).astype(jnp.int32)
+        probs_sorted = apply_probs(
+            feats_b[order_g], xyz_b[order_g], offsets)
+        probs = jnp.zeros_like(probs_sorted).at[order_g].set(probs_sorted)
+        return probs[None], jnp.stack(
+            [dropped, jnp.zeros((), jnp.int32)])[None]
+
+    shardy = P(axis_name)
+    sharding = NamedSharding(mesh, shardy)
+    jitted = {}
+    for mode, fn in (("ppermute", shard_fn), ("allgather", shard_fn_ag)):
+        jitted[mode] = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(shardy,) * 7,
+            out_specs=(shardy, shardy)))
+
+    def predict(feats, xyz, gidx, n_core, bounds, hw, ax,
+                mode="ppermute"):
         put = lambda a: jax.device_put(a, sharding)  # noqa: E731
-        return jitted(put(feats), put(xyz), put(gidx), put(n_core),
-                      put(bounds), put(hw), put(ax))
+        return jitted[mode](put(feats), put(xyz), put(gidx), put(n_core),
+                            put(bounds), put(hw), put(ax))
 
     return predict
 
@@ -235,32 +308,29 @@ def sharded_scene_probs_collective(
     """`sharded_scene_probs` with the halo moved over device collectives.
 
     The host ships each device ONLY its core slab; boundary points travel
-    between neighbouring devices via ``ppermute`` (see
-    `make_collective_predict`). Requires the halo width to fit within the
-    adjacent slab (one-hop exchange) — asserted against the measured slab
-    widths.
+    over ICI — ``ppermute`` to the adjacent devices when the halo fits
+    within each interior slab, the general ``all_gather`` exchange
+    otherwise (production receptive halos usually span several slabs of
+    one room; see `make_collective_predict`).
 
     ``predict``: optional pre-built `make_collective_predict` result (the
     jit is shape-keyed; reuse it across scenes of one eval run).
+
+    Raises ``ValueError`` when a core slab exceeds ``core_pad`` (callers
+    fall back to the host-replication path, which truncates gracefully).
     """
     coord = np.asarray(coord, np.float32)
     origin = coord.min(0)
     coord0 = coord - origin
     d = int(mesh.devices.size)
     blocks = partition_scene(coord0, d, halo=0.0)
+    axis, qs = slab_edges(coord0, d)
 
-    extent = coord0.max(0) - coord0.min(0)
-    axis = int(np.argmax(extent[:2])) if coord0.shape[1] >= 2 else 0
-    x = coord0[:, axis]
-    qs = np.quantile(x, np.linspace(0, 1, d + 1))
-    qs[0], qs[-1] = -np.inf, np.inf
-    # one-hop reach: the halo band must not span past the adjacent slab
-    widths = np.diff(np.quantile(x, np.linspace(0, 1, d + 1)))[1:-1]
-    if len(widths) and halo > widths.min():
-        raise ValueError(
-            f"halo {halo:.3f} exceeds the narrowest interior slab "
-            f"({widths.min():.3f}); one-hop ppermute exchange cannot "
-            "cover it - use sharded_scene_probs (host replication)")
+    # exchange topology: one-hop ppermute only when the halo band cannot
+    # span past the adjacent slab; otherwise the general all_gather path
+    widths = np.diff(qs)[1:-1]
+    mode = ("ppermute" if not len(widths) or halo <= widths.min()
+            else "allgather")
 
     c_in = feat.shape[1] + (3 if concat_xyz else 0)
     feats_d = np.zeros((d, core_pad, c_in), np.float32)
@@ -271,8 +341,11 @@ def sharded_scene_probs_collective(
     kept = []
     for b, blk in enumerate(blocks):
         idx = blk["idx"]
-        assert len(idx) <= core_pad, (
-            f"core slab {b} ({len(idx)} pts) exceeds core_pad {core_pad}")
+        if len(idx) > core_pad:
+            raise ValueError(
+                f"core slab {b} ({len(idx)} pts) exceeds core_pad "
+                f"{core_pad} - raise sharded_core_points or fall back "
+                "to host replication")
         c = coord0[idx]
         f = np.asarray(feat[idx], np.float32)
         fcat = np.concatenate([f, c], 1) if concat_xyz else f
@@ -293,12 +366,14 @@ def sharded_scene_probs_collective(
         predict = make_collective_predict(
             apply_probs, mesh, core_pad, halo_cap)
     probs_d, sent_drop = predict(
-        feats_d, xyz_d, gidx_d, n_core, bounds, hw, ax)
+        feats_d, xyz_d, gidx_d, n_core, bounds, hw, ax, mode=mode)
     probs_d = np.asarray(probs_d)
     sent_drop = np.asarray(sent_drop)
     if stats is not None:
         stats["halo_cap_dropped"] = int(sent_drop.sum())
         stats["block_points"] = [int(n) for n in n_core[:, 0]]
+        stats[f"collective_{mode}_scenes"] = (
+            stats.get(f"collective_{mode}_scenes", 0) + 1)
 
     out = np.zeros((len(coord), num_classes), np.float64)
     for b, idx in enumerate(kept):

@@ -109,8 +109,14 @@ def from_config(cfg, iter_per_epoch):
             base_lr, milestones, 0.1, cfg.get("warmup_iters", 1500),
             cfg.get("warmup_ratio", 1e-6)), "step"
     if name == "MultiStep":
-        if cfg.get("milestones"):
-            ms_epochs = [int(x) for x in str(cfg["milestones"]).split(",")]
+        ms = cfg.get("milestones")
+        if ms is not None and not isinstance(ms, (list, tuple)):
+            # CLI override: "36,48" (the config coercer may have turned
+            # it into a "(36, 48)" tuple repr - strip brackets)
+            ms = [x for x in
+                  str(ms).strip("()[] ").replace(" ", "").split(",") if x]
+        if ms:
+            ms_epochs = [int(x) for x in ms]
         else:
             ms_epochs = [int(epochs * 0.6), int(epochs * 0.8)]
         gamma = cfg.get("gamma", 0.1)

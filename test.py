@@ -132,10 +132,13 @@ def main():
         # whose halo exceeds a slab width fall back to host replication.
         collective = bool(cfg.get("sharded_collective", True))
         apply_probs_coll = None
+        collective_predict = None
         core_pad = halo_cap = 0
         if collective:
-            core_pad = int(cfg.get("sharded_core_points",
-                                   max(block_pad // max(ndev, 1), tile)))
+            # per-slab core ~ chunk/ndev; block_pad (the host path's
+            # per-device capacity) right-sizes it for chunks up to
+            # ndev * block_pad total points
+            core_pad = int(cfg.get("sharded_core_points", block_pad))
             core_pad = (core_pad + tile - 1) // tile * tile
             halo_cap = int(cfg.get("sharded_halo_points", core_pad // 2))
             halo_cap = max((halo_cap + tile - 1) // tile * tile, tile)
@@ -148,6 +151,10 @@ def main():
                     variables, f_, x_, o_.astype(jnp.int32),
                     training=False, anchor=jnp.zeros((3,), jnp.float32))
                 return jax.nn.softmax(logits, -1)
+
+            # ONE jitted exchange+forward per eval run (shape-keyed)
+            collective_predict = halo_mod.make_collective_predict(
+                apply_probs_coll, mesh, core_pad, halo_cap)
 
     # ---- scene source ----
     scenes = []
@@ -192,7 +199,8 @@ def main():
                 voxel_size=cfg.get("voxel_size", 0.04),
                 concat_xyz=bool(cfg.get("concat_xyz", True)),
                 stats=halo_stats, apply_probs=apply_probs_coll,
-                core_pad=core_pad, halo_cap=halo_cap)
+                core_pad=core_pad, halo_cap=halo_cap,
+                collective_predict=collective_predict)
         else:
             pred, _ = voting.evaluate_scene(
                 predict_probs, coord, feat, ncls,

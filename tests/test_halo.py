@@ -238,8 +238,43 @@ def test_collective_halo_exchange_matches_full_forward(rng):
     assert err_bad > 100 * max(err, 1e-9) and err_bad > 1e-5, (
         f"sub-window-halo control unexpectedly exact (max err {err_bad})")
 
-    # halo wider than a slab is refused, not silently wrong
+    # halo WIDER than a slab (the production receptive-field regime):
+    # the general all_gather exchange engages and stays exact given
+    # enough halo capacity (~2 slabs' worth of band points here)
+    wide = float(np.diff(np.quantile(
+        coord[:, 0], np.linspace(0, 1, 5)))[1:-1].min()) * 1.2
+    halo_cap_ag = ((int(0.45 * n) + 127) // 128) * 128
+    mcfg_ag = dataclasses.replace(
+        cfg, n_pad=core_pad + 2 * halo_cap_ag, num_scenes=1)
+    model_ag = Stratified(mcfg_ag)
+
+    def apply_probs_ag(feats_, xyz_, off_):
+        logits, _ = model_ag.apply(
+            variables, feats_, xyz_, off_.astype(jnp.int32),
+            training=False, anchor=jnp.zeros((3,), jnp.float32))
+        return jax.nn.softmax(logits, -1)
+
+    stats_ag = {}
+    probs_ag = halo.sharded_scene_probs_collective(
+        apply_probs_ag, coord, feat, cfg.num_classes, mesh=mesh,
+        core_pad=core_pad, halo_cap=halo_cap_ag, concat_xyz=True,
+        halo=max(wide, hw), stats=stats_ag)
+    assert stats_ag.get("collective_allgather_scenes", 0) == 1, stats_ag
+    assert stats_ag["halo_cap_dropped"] == 0, stats_ag
+    err_ag = np.abs(probs_ag - np.asarray(full_probs)).max()
+    assert err_ag <= 5e-7, (
+        f"allgather sharded != full (max err {err_ag})")
+
+    # a huge halo overflows the cap: counted, never silent (each device
+    # sees ~3n/4 candidates vs 2*halo_cap slots)
+    stats_huge = {}
+    halo.sharded_scene_probs_collective(
+        apply_probs, coord, feat, cfg.num_classes, mesh=mesh,
+        core_pad=core_pad, halo_cap=halo_cap, halo=1e9, stats=stats_huge)
+    assert stats_huge["halo_cap_dropped"] > 0
+
+    # core slab overflow raises ValueError (caller falls back)
     with pytest.raises(ValueError):
         halo.sharded_scene_probs_collective(
             apply_probs, coord, feat, cfg.num_classes, mesh=mesh,
-            core_pad=core_pad, halo_cap=halo_cap, halo=1e9)
+            core_pad=32, halo_cap=halo_cap, halo=hw)

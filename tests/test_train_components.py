@@ -137,7 +137,9 @@ def test_compress_roundtrip_and_gating():
 def test_compress_never_narrows_negative_or_wide_values():
     """ScanNetv2-style ignore_label -100 (reference config) must survive
     the narrowing path byte-exact: uint16 would wrap -100 -> 65436 and
-    break the CE/metrics ignore mask. Same for values >= 2^16."""
+    break the CE/metrics ignore mask. The gate is STATIC (config
+    ignore_label + key allowlist, never per-batch values - a
+    data-dependent dtype would retrace the jitted step)."""
     from stratified_transformer_tpu.data.compress import (
         compress_batch, widen_batch)
     rng = np.random.default_rng(7)
@@ -148,14 +150,26 @@ def test_compress_never_narrows_negative_or_wide_values():
         "stem_nidx": rng.integers(0, 64, (64, 8)).astype(np.int32),
         "wide_ids": np.array([0, 70000, 3], np.int64),
     }
-    comp = compress_batch(batch, n_pad=64)
-    # negative / wide arrays ship untouched; pure indices still narrow
+    comp = compress_batch(batch, n_pad=64, ignore_label=-100)
+    # labels gated off by the negative ignore sentinel; unknown keys ship
+    # untouched; index keys still narrow
     assert comp["labels"].dtype == np.int32
     assert comp["wide_ids"].dtype == np.int64
     assert comp["stem_nidx"].dtype == np.uint16
     wide = widen_batch(comp)
     np.testing.assert_array_equal(np.asarray(wide["labels"]), labels)
     assert (np.asarray(wide["labels"]) == -100).sum() == (labels == -100).sum()
+
+    # STATIC gate: a batch with no -100 present must ship the SAME dtypes
+    # (jit signature stability batch-to-batch)
+    all_annotated = dict(batch, labels=np.abs(labels).astype(np.int32))
+    comp2 = compress_batch(all_annotated, n_pad=64, ignore_label=-100)
+    assert comp2["labels"].dtype == np.int32
+
+    # non-negative ignore sentinel (s3dis 255): labels narrow
+    comp3 = compress_batch(dict(batch, labels=np.abs(labels)), n_pad=64,
+                           ignore_label=255)
+    assert comp3["labels"].dtype == np.uint16
 
 
 def test_compressed_step_matches_uncompressed():

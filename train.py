@@ -229,7 +229,9 @@ class BatchLoader:
             if bool(self.cfg.get("compress_payload", True)):
                 from stratified_transformer_tpu.data.compress import (
                     compress_batch)
-                d_batch = compress_batch(d_batch, mcfg.n_pad)
+                d_batch = compress_batch(
+                    d_batch, mcfg.n_pad,
+                    ignore_label=int(self.cfg.get("ignore_label", 255)))
             per_dev.append(d_batch)
         return per_dev
 
