@@ -22,7 +22,7 @@ Env knobs: ST_BENCH_DEADLINE (s, default 1500), ST_BENCH_PREFLIGHT_S
 (default 420 — a healthy first trivial op has measured 185s cold on the
 axon remote-compile path), ST_BENCH_PATHS ("reference,fused"),
 ST_BENCH_N (default 40960), ST_BENCH_ITERS (default 10), ST_PEAK_FLOPS
-(default 1.97e14, TPU v5e bf16), ST_BENCH_FUSED_STAGES (default 2),
+(default 1.97e14, TPU v5e bf16), ST_BENCH_FUSED_STAGES (default 3),
 ST_BENCH_DONATE_FUSED=1 (re-enable buffer donation on the fused path),
 ST_BENCH_E2E (default 1 — also run the REAL threaded-loader driver loop
 on the winning path and report wall-clock end-to-end pts/s; 0 disables).
@@ -106,8 +106,8 @@ def _measure_path(impl: str, n_pad: int, iters: int):
         band_per_stage=(128, 128, 384, 192),
         rpe_precision="default", qk_precision="default",
         attn_impl=impl,
-        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 2),
-        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 0),
+        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 3),
+        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 6),
         attn_bwd="pallas")
     model = Stratified(cfg)
 
@@ -220,8 +220,8 @@ def _measure_e2e(impl: str, n_pad: int, iters: int):
         band_per_stage=(128, 128, 384, 192),
         rpe_precision="default", qk_precision="default",
         attn_impl=impl,
-        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 2),
-        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 0),
+        fused_stages=int(os.environ.get("ST_BENCH_FUSED_STAGES") or 3),
+        head_group=int(os.environ.get("ST_BENCH_HEAD_GROUP") or 6),
         attn_bwd="pallas")
     model = Stratified(cfg)
     b = _example_batch(n_pad, 2, cfg.in_channels)

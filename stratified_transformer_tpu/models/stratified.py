@@ -109,13 +109,15 @@ class StratifiedConfig:
     attn_impl: str = "reference"              # "reference" | "fused" (Pallas)
     # Stages [0, fused_stages) use the Pallas kernels when attn_impl is
     # "fused"; later stages fall back to the jnp path. The late stages are
-    # tiny-N / many-head (h=12, 24): the per-head-unrolled kernels compile
-    # slowly and run SLOWER than XLA there (measured: stage2 Pallas band
-    # 11.1 ms vs jnp 8.3 ms), while stages 0-1 (h=3, 6) carry ~70% of the
-    # attention time and win on the MXU.
-    fused_stages: int = 2
+    # tiny-N / many-head (h=24): the per-head-unrolled kernels compile
+    # slowly and run SLOWER than XLA there, while head_group caps the
+    # unroll for stage 2 (h=12) where the Pallas path wins (r4 measured:
+    # 460 ms/step vs 499 at fused_stages 2; training validated r5 via the
+    # schedule-matched A/B after the r4 plateau was root-caused to LR
+    # milestones scaling with `epochs`).
+    fused_stages: int = 3
     attn_bwd: str = "pallas"                  # fused backward: "pallas"|"jnp"
-    head_group: int = 0                       # fused: heads per pallas_call
+    head_group: int = 6                       # fused: heads per pallas_call
     w_chunk: int = 128
     # Sparse-band aux window per query tile. A tile's far-key segments span
     # max(ke)-min(ks) aux slots; measured max 37 at the stage-0 operating

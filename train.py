@@ -97,8 +97,8 @@ def build_model_config(cfg, n_devices):
         neighbor_cap=int(cfg.get("neighbor_cap", 32)),
         grid_knn_chunk=int(cfg.get("grid_knn_chunk", 4096)),
         pallas_interpret=bool(cfg.get("pallas_interpret", False)),
-        fused_stages=int(cfg.get("fused_stages", 2)),
-        head_group=int(cfg.get("head_group", 0)),
+        fused_stages=int(cfg.get("fused_stages", 3)),
+        head_group=int(cfg.get("head_group", 6)),
         band_per_stage=(tuple(int(x) for x in cfg.get("band_per_stage"))
                         if cfg.get("band_per_stage") else None),
         w_chunk=int(cfg.get("w_chunk", 128)),
