@@ -395,6 +395,8 @@ def band_attention_bwd(
         for j in range(w // tile):
             rows = parts[:, j].reshape(nt * tile, hd)
             shift = (j - bt) * tile     # absolute offset of part j
+            if abs(shift) >= n:
+                continue                # band wider than the whole input
             if shift == 0:
                 total = total + rows
             elif shift > 0:

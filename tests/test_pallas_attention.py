@@ -226,3 +226,44 @@ def test_pallas_bwd_matches_jnp_vjp_wide_band(rng, band_mult):
         np.testing.assert_allclose(
             a, b, rtol=5e-4, atol=5e-4,
             err_msg=f"grad {name} (band={band})")
+
+
+def test_pallas_bwd_band_wider_than_input(rng):
+    """band >= n (tiny inputs, wide production band - the kernels-only
+    warmup regime): the backward's shifted-diagonal re-composition must
+    clamp empty diagonals instead of slicing negatively
+    (fused_attention_bwd.diag_add; r5 warmup crash)."""
+    n_pad, n_valid = 64, 50
+    tile, band = 32, 96                      # band > n
+    ws = 0.6
+    xyz = rng.uniform(0, 1.2, (n_pad, 3)).astype(np.float32)
+    batch = np.zeros(n_pad, np.int32)
+    valid = np.arange(n_pad) < n_valid
+    plan = plan_mod.build_attention_plan(
+        jnp.asarray(xyz), jnp.asarray(batch), jnp.asarray(valid), ws,
+        shifted=False, is_down=None, sparse_cap=16)
+    q, k, v = (jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+               for _ in range(3))
+    nbins = 2 * int((2 * ws + 1e-4) // QUANT)
+    tq, tk, tv = (
+        jnp.asarray((rng.normal(size=(nbins, H, D, 3)) * 0.05)
+                    .astype(np.float32)) for _ in range(3))
+    cot = jnp.asarray(rng.normal(size=(n_pad, H, D)).astype(np.float32))
+    kw = dict(window_size=ws, quant_size=QUANT, scale=SCALE, band=band,
+              tile=tile, w_chunk=32, interpret=True)
+
+    def run(bwd_impl):
+        def loss(q_, k_, v_, a, b, c):
+            out = stratified_attention_fused(
+                q_, k_, v_, plan.xyz_sorted, plan.seg_start, plan.seg_end,
+                plan.valid_sorted, table_q=a, table_k=b, table_v=c,
+                bwd_impl=bwd_impl, **kw)
+            return jnp.sum(out * cot)
+        return jax.grad(loss, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
+
+    g_p = run("pallas")
+    g_j = run("jnp")
+    for a, b, name in zip(g_p, g_j, "q k v tq tk tv".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad {name}")
